@@ -1,0 +1,155 @@
+"""Typed configuration for the tempering solver.
+
+Replaces the plain dicts of the reference driver (reference main.py:6-55)
+with validated dataclasses, and adds the knobs the reference README promised
+but never shipped (problem_dim, parallel) plus ours (dtype, physics_mode,
+output cadence, checkpointing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+_VALID_FAMILIES = ("CG", "DG")
+
+
+@dataclass(frozen=True)
+class FEConfig:
+    """Finite-element choice per field (reference main.py:24-27).
+
+    family: 'CG' (continuous Lagrange) or 'DG' (discontinuous Lagrange;
+    the heat equation then gets SIPG interior-penalty facet terms,
+    reference ThermoViscoProblem.py:308-326).
+    """
+
+    T_family: str = "DG"
+    T_degree: int = 1
+    sigma_family: str = "CG"
+    sigma_degree: int = 1
+
+    def __post_init__(self) -> None:
+        for fam in (self.T_family, self.sigma_family):
+            if fam not in _VALID_FAMILIES:
+                raise ValueError(
+                    f"Only CG and DG elements are supported, got {fam!r}"
+                )
+        if self.T_degree < 1 or self.sigma_degree < 1:
+            raise ValueError("element degree must be >= 1")
+
+
+@dataclass(frozen=True)
+class TimeConfig:
+    """Time domain (reference main.py:11-16)."""
+
+    t_start: float = 0.0
+    t_end: float = 50.0
+    dt: float = 0.1
+
+    @property
+    def n_steps(self) -> int:
+        import math
+
+        return math.ceil((self.t_end - self.t_start) / self.dt)
+
+
+@dataclass(frozen=True)
+class ModelParams:
+    """Physical parameters (reference main.py:29-55).
+
+    Names match the reference's model_params dict. Note the reference's
+    quirks, reproduced deliberately: rho/cp/k are carried but unused by the
+    weak form (reference ThermoViscoProblem.py:293-306 uses alpha only), and
+    the radiation/convection boundary terms carry a 0.001 scale factor.
+    """
+
+    f: float = 0.0            # volumetric heat source
+    epsilon: float = 0.93     # radiative emissivity
+    sigma: float = 5.670e-8   # Stefan-Boltzmann constant
+    T_ambient: float = 600.0  # ambient temperature [K]
+    T_0: float = 800.0        # initial temperature [K]
+    alpha: float = 1.0        # diffusion coefficient in the weak form
+    htc: float = 280.1        # convective heat transfer coefficient
+    rho: float = 2500.0       # density (unused in form; parity with reference)
+    cp: float = 1433.0        # specific heat (unused in form)
+    k: float = 1.0            # conductivity (unused in form)
+    H: float = 627.8e3        # activation energy [J/mol]
+    Tb: float = 869.0         # base temperature [K]
+    Rg: float = 8.314         # universal gas constant
+    alpha_solid: float = 9.10e-6
+    alpha_liquid: float = 25.10e-6
+    Tf_init: float = 873.0    # carried for parity; ICs use T_0 (reference ThermoViscoProblem.py:179)
+    chi: float = 0.5          # TN weighting (reference ViscoelasticModel.py:15)
+    boundary_scale: float = 0.001  # the undocumented 0.001 factor (reference ThermoViscoProblem.py:302-304)
+    dg_penalty: float = 5.0   # SIPG penalty (reference ThermoViscoProblem.py:313)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Newton-Krylov settings (reference ThermoViscoProblem.py:330-346)."""
+
+    newton_rtol: float = 1e-12   # incremental criterion rtol (reference :336)
+    newton_atol: float = 1e-10
+    newton_max_it: int = 50
+    cg_rtol: float = 1e-12
+    cg_atol: float = 0.0
+    cg_max_it: int = 1000
+    preconditioner: str = "jacobi"  # 'jacobi' | 'none'
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    """Output/checkpoint settings. The reference writes every step
+    (ThermoViscoProblem.py:374); we make cadence configurable and add
+    checkpoint/resume, which the reference lacks (SURVEY.md §5)."""
+
+    output_dir: str = "output"
+    write_every: int = 1          # steps between field snapshots (0 = off)
+    formats: tuple = ("npz",)     # subset of ('npz', 'vtu', 'xdmf')
+    checkpoint_every: int = 0      # steps between checkpoints (0 = off)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level bundle."""
+
+    fe: FEConfig = field(default_factory=FEConfig)
+    time: TimeConfig = field(default_factory=TimeConfig)
+    params: ModelParams = field(default_factory=ModelParams)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    # 'reference' reproduces the reference's runtime semantics exactly,
+    # including its dead-rotation quirks (see models/viscoelastic.py docstring);
+    # 'corrected' uses the literature (Nielsen et al.) semantics.
+    physics_mode: str = "reference"
+    # fp64 for parity runs, fp32 for TPU perf runs.
+    dtype: str = "float64"
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        raw: dict[str, Any] = json.loads(text)
+        return RunConfig(
+            fe=FEConfig(**raw.get("fe", {})),
+            time=TimeConfig(**raw.get("time", {})),
+            params=ModelParams(**raw.get("params", {})),
+            solver=SolverConfig(**raw.get("solver", {})),
+            output=OutputConfig(
+                **{
+                    k: tuple(v) if k == "formats" else v
+                    for k, v in raw.get("output", {}).items()
+                }
+            ),
+            physics_mode=raw.get("physics_mode", "reference"),
+            dtype=raw.get("dtype", "float64"),
+        )
+
+
+def default_model_params() -> ModelParams:
+    """The reference's default parameter set (reference main.py:29-55)."""
+    return ModelParams()
