@@ -1,0 +1,193 @@
+"""The nonlinear heat operator: residual + exact Jacobi diagonal.
+
+Implements the reference's weak form exactly (ThermoViscoProblem.py:293-326):
+
+  F(T) = (T - T_prev) v dx
+       + dt * ( alpha grad(T).grad(v) dx - f v dx
+              + s*(sigma_SB*eps)*(T^4 - T_amb^4) v ds
+              + s*htc*(T - T_amb) v ds )
+       [+ dt * alpha * SIPG interior-penalty terms when T is DG]
+
+with s = 0.001 the reference's undocumented boundary scale
+(ThermoViscoProblem.py:302-304, reproduced for parity). The SIPG terms are
+
+  (penalty/h+) <[[v n]],[[T n]]> - <{grad v},[[T n]]> - <[[v n]],{grad T}>
+
+per ThermoViscoProblem.py:318-325, with penalty = 5.0 and h = the '+' cell
+diameter.
+
+Everything here is jit-compatible: geometry factors are baked static arrays,
+assembly is gather -> einsum -> segment_sum. The Jacobian is never formed;
+Newton uses jax.jvp on `residual`, and the preconditioner uses the exact
+diagonal from `jacobian_diag` (constant part precomputed, the T^3 radiation
+part recomputed per call).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_glass_tempering_tpu.config import ModelParams
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.ops.assembly import (
+    build_boundary_geometry,
+    build_cell_geometry,
+    build_interior_geometry,
+)
+
+
+class HeatOperator:
+    def __init__(self, fs: FunctionSpace, params: ModelParams, dt: float,
+                 dtype=jnp.float64, quad_degree: int | None = None,
+                 bc_dofs: np.ndarray | None = None, bc_value: float | None = None):
+        self.fs = fs
+        self.params = params
+        self.dt = float(dt)
+        self.dtype = dtype
+        mesh = fs.mesh
+        self.n_dofs = fs.n_scalar_dofs
+        self.is_dg = fs.family == "DG"
+
+        cg = build_cell_geometry(mesh, fs, quad_degree)
+        bg = build_boundary_geometry(mesh, fs, quad_degree)
+        f32 = lambda a: jnp.asarray(a, dtype=dtype)
+        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+        self.dofmap = i32(fs.dofmap)                      # (c, l)
+        self.qw = f32(cg.qweights)                        # (c, q)
+        self.phi = f32(cg.phi)                            # (q, l)
+        self.gphi = f32(cg.grad_phys)                     # (c, q, l, g)
+
+        self.b_dofmap = i32(fs.dofmap[bg.cell])           # (f, l)
+        self.b_qw = f32(bg.qweights)                      # (f, q)
+        self.b_phi = f32(bg.phi)                          # (f, q, l)
+
+        if self.is_dg:
+            ig = build_interior_geometry(mesh, fs, quad_degree)
+            self.i_dofmap_p = i32(fs.dofmap[ig.cell_p])
+            self.i_dofmap_m = i32(fs.dofmap[ig.cell_m])
+            self.i_qw = f32(ig.qweights)
+            self.i_phi_p = f32(ig.phi_p)
+            self.i_phi_m = f32(ig.phi_m)
+            # normal derivative tables: grad(phi) . n+  -> (f, q, l)
+            self.i_dnphi_p = f32(np.einsum("fqlg,fqg->fql", ig.grad_p, ig.normal_p))
+            self.i_dnphi_m = f32(np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p))
+            self.i_h_p = f32(ig.h_p)                      # (f,)
+
+        # Dirichlet lifting (working replacement for the reference's broken
+        # path, SURVEY.md §Quirks 3)
+        mask = np.zeros(self.n_dofs, dtype=bool)
+        vals = np.zeros(self.n_dofs)
+        if bc_dofs is not None and len(bc_dofs):
+            mask[np.asarray(bc_dofs)] = True
+            vals[np.asarray(bc_dofs)] = bc_value if bc_value is not None else 0.0
+        self.bc_mask = jnp.asarray(mask)
+        self.has_bc = bool(mask.any())
+        self.bc_values = jnp.asarray(vals, dtype=dtype)
+
+        self._const_diag = self._build_constant_diag()
+
+    # ------------------------------------------------------------------
+    def _scatter(self, vals_cell: jnp.ndarray, dofmap: jnp.ndarray) -> jnp.ndarray:
+        return jax.ops.segment_sum(
+            vals_cell.reshape(-1), dofmap.reshape(-1),
+            num_segments=self.n_dofs,
+        )
+
+    def _base_residual(self, T: jnp.ndarray, T_prev: jnp.ndarray) -> jnp.ndarray:
+        p = self.params
+        dt = self.dt
+        # ---- cell integrals ----
+        Tc = T[self.dofmap]                                # (c, l)
+        Tpc = T_prev[self.dofmap]
+        Tq = Tc @ self.phi.T                               # (c, q)
+        Tpq = Tpc @ self.phi.T
+        gTq = jnp.einsum("cl,cqlg->cqg", Tc, self.gphi)    # (c, q, g)
+        mass_src = self.qw * ((Tq - Tpq) - dt * p.f)       # (c, q)
+        r_cell = jnp.einsum("cq,ql->cl", mass_src, self.phi)
+        r_cell += dt * p.alpha * jnp.einsum(
+            "cqg,cqlg->cl", self.qw[..., None] * gTq, self.gphi
+        )
+        r = self._scatter(r_cell, self.dofmap)
+
+        # ---- boundary (radiation + convection, Robin-type) ----
+        Tb = jnp.einsum("fql,fl->fq", self.b_phi, T[self.b_dofmap])
+        gflux = p.boundary_scale * (
+            (p.sigma * p.epsilon) * (Tb**4 - p.T_ambient**4)
+            + p.htc * (Tb - p.T_ambient)
+        )
+        r_b = jnp.einsum("fq,fql->fl", self.b_qw * dt * gflux, self.b_phi)
+        r += self._scatter(r_b, self.b_dofmap)
+
+        # ---- SIPG interior facets (DG only) ----
+        if self.is_dg:
+            Tp = jnp.einsum("fql,fl->fq", self.i_phi_p, T[self.i_dofmap_p])
+            Tm = jnp.einsum("fql,fl->fq", self.i_phi_m, T[self.i_dofmap_m])
+            dTp = jnp.einsum("fql,fl->fq", self.i_dnphi_p, T[self.i_dofmap_p])
+            dTm = jnp.einsum("fql,fl->fq", self.i_dnphi_m, T[self.i_dofmap_m])
+            jumpT = Tp - Tm
+            avg_dT = 0.5 * (dTp + dTm)
+            coef = dt * p.alpha * self.i_qw                # (f, q)
+            pen_h = (p.dg_penalty / self.i_h_p)[:, None]   # (f, 1)
+            r_p = jnp.einsum(
+                "fq,fql->fl",
+                coef * pen_h * jumpT, self.i_phi_p,
+            ) - jnp.einsum(
+                "fq,fql->fl", coef * 0.5 * jumpT, self.i_dnphi_p,
+            ) - jnp.einsum(
+                "fq,fql->fl", coef * avg_dT, self.i_phi_p,
+            )
+            r_m = -jnp.einsum(
+                "fq,fql->fl", coef * pen_h * jumpT, self.i_phi_m,
+            ) - jnp.einsum(
+                "fq,fql->fl", coef * 0.5 * jumpT, self.i_dnphi_m,
+            ) + jnp.einsum(
+                "fq,fql->fl", coef * avg_dT, self.i_phi_m,
+            )
+            r += self._scatter(r_p, self.i_dofmap_p)
+            r += self._scatter(r_m, self.i_dofmap_m)
+        return r
+
+    def residual(self, T: jnp.ndarray, T_prev: jnp.ndarray) -> jnp.ndarray:
+        """Assembled residual, with Dirichlet lifting if configured."""
+        if not self.has_bc:
+            return self._base_residual(T, T_prev)
+        T_eff = jnp.where(self.bc_mask, self.bc_values, T)
+        r = self._base_residual(T_eff, T_prev)
+        return jnp.where(self.bc_mask, T - self.bc_values, r)
+
+    # ------------------------------------------------------------------
+    def _build_constant_diag(self) -> jnp.ndarray:
+        """T-independent part of diag(J): mass + diffusion + SIPG."""
+        p = self.params
+        dt = self.dt
+        d_cell = jnp.einsum("cq,ql,ql->cl", self.qw, self.phi, self.phi)
+        d_cell += dt * p.alpha * jnp.einsum(
+            "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi
+        )
+        d = self._scatter(d_cell, self.dofmap)
+        if self.is_dg:
+            coef = dt * p.alpha * self.i_qw
+            pen_h = (p.dg_penalty / self.i_h_p)[:, None]
+            d_p = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_p, self.i_phi_p) \
+                - jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_p, self.i_dnphi_p)
+            d_m = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_m, self.i_phi_m) \
+                + jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_m, self.i_dnphi_m)
+            d += self._scatter(d_p, self.i_dofmap_p)
+            d += self._scatter(d_m, self.i_dofmap_m)
+        return d
+
+    def jacobian_diag(self, T: jnp.ndarray) -> jnp.ndarray:
+        """Exact diag(dF/dT) at T — Jacobi preconditioner for CG."""
+        p = self.params
+        Tb = jnp.einsum("fql,fl->fq", self.b_phi, T[self.b_dofmap])
+        dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
+        d_b = jnp.einsum(
+            "fq,fql,fql->fl", self.b_qw * self.dt * dflux, self.b_phi, self.b_phi
+        )
+        d = self._const_diag + self._scatter(d_b, self.b_dofmap)
+        if self.has_bc:
+            d = jnp.where(self.bc_mask, 1.0, d)
+        return d

@@ -1,0 +1,64 @@
+"""Matrix-free preconditioned conjugate gradients as a lax.while_loop.
+
+TPU-native replacement for PETSc's KSP CG (reference KSP config:
+ThermoViscoProblem.py:339-346, ksp_type=cg). The operator is a closure
+(typically a jax.jvp of the residual); the preconditioner is a diagonal
+(Jacobi) vector — the GAMG stand-in per SURVEY.md §2b. Convergence follows
+PETSc's default test ||r||_2 < max(rtol*||b||, atol).
+
+On a sharded dof vector the dot products become jnp.vdot under pjit/shard_map
+and XLA inserts psum collectives — the same reductions PETSc does over MPI
+(SURVEY.md §5, communication pattern 2).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    residual_norm: jnp.ndarray
+
+
+def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
+        diag: jnp.ndarray | None = None, rtol: float = 1e-12,
+        atol: float = 0.0, max_it: int = 1000) -> PCGResult:
+    x = jnp.zeros_like(b) if x0 is None else x0
+    inv_diag = None if diag is None else 1.0 / diag
+
+    def apply_M(r):
+        return r if inv_diag is None else inv_diag * r
+
+    r = b - matvec(x)
+    z = apply_M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.linalg.norm(r) > tol) & (k < max_it)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.int32(0)))
+    rnorm = jnp.linalg.norm(r)
+    return PCGResult(x=x, iters=k, converged=rnorm <= tol, residual_norm=rnorm)

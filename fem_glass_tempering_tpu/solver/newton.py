@@ -1,0 +1,61 @@
+"""Matrix-free Newton with the 'incremental' convergence criterion.
+
+TPU-native replacement for dolfinx's C++ NewtonSolver
+(reference ThermoViscoProblem.py:334-337: criterion "incremental",
+rtol 1e-12): a lax.while_loop whose body assembles the residual, solves
+J dx = -F with Jacobi-preconditioned CG (J action via jax.jvp — the UFL-AD
+Jacobian derivation becomes JAX AD), applies a full step, and declares
+convergence when ||dx|| <= rtol * ||x|| + atol.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fem_glass_tempering_tpu.solver.krylov import pcg
+
+
+class NewtonResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    increment_norm: jnp.ndarray
+    krylov_iters: jnp.ndarray  # total CG iterations across Newton steps
+
+
+def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
+                 jac_diag_fn: Callable | None = None,
+                 rtol: float = 1e-12, atol: float = 1e-10, max_it: int = 50,
+                 cg_rtol: float = 1e-12, cg_atol: float = 0.0,
+                 cg_max_it: int = 1000) -> NewtonResult:
+    """Solve residual_fn(x) = 0 starting from x0 (the previous step's
+    solution, as in the reference where T_current seeds each solve)."""
+
+    def cond(state):
+        x, k, converged, dxn, cg_total = state
+        return (~converged) & (k < max_it)
+
+    def body(state):
+        x, k, converged, _, cg_total = state
+        F = residual_fn(x)
+
+        def matvec(v):
+            return jax.jvp(residual_fn, (x,), (v,))[1]
+
+        diag = jac_diag_fn(x) if jac_diag_fn is not None else None
+        lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
+                  max_it=cg_max_it)
+        x_new = x + lin.x
+        dxn = jnp.linalg.norm(lin.x)
+        conv = dxn <= rtol * jnp.linalg.norm(x_new) + atol
+        return x_new, k + 1, conv, dxn, cg_total + lin.iters
+
+    x0 = jnp.asarray(x0)
+    init = (x0, jnp.int32(0), jnp.bool_(False), jnp.asarray(jnp.inf, x0.dtype),
+            jnp.int32(0))
+    x, k, converged, dxn, cg_total = jax.lax.while_loop(cond, body, init)
+    return NewtonResult(x=x, iters=k, converged=converged,
+                        increment_norm=dxn, krylov_iters=cg_total)

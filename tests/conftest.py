@@ -8,7 +8,9 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the CI environment exports JAX_PLATFORMS=axon (TPU tunnel);
+# tests must run on the virtual CPU mesh, so plain setdefault is not enough
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the environment's sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon already baked in, so the env override above is not
+# seen — force the config value directly as well
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
