@@ -1,0 +1,237 @@
+"""Coupled thermo-viscoelastic problem driver.
+
+TPU-native counterpart of the reference's orchestrator class
+(ThermoViscoProblem.py:23-620). The per-step cascade — implicit heat solve,
+then the viscoelastic material chain — is ONE jitted, donated
+`step(state) -> state` function; the time loop runs as jitted multi-step
+chunks (lax.fori_loop) between output snapshots, so the whole simulation
+stays on-device and host transfers happen only at the configured output
+cadence (the reference writes files every step, a serial bottleneck we make
+optional; SURVEY.md §3.3 hot-path note).
+
+API parity: the constructor accepts the reference driver's dict-style
+arguments (mesh_path/config/time/dt/model_parameters, reference main.py:57-59)
+as well as our typed RunConfig; `setup(dirichlet_bc=False)` and `solve()`
+match the reference entry points (main.py:61-62) — with a *working* Dirichlet
+path (the reference's crashes, SURVEY.md §Quirks 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_glass_tempering_tpu.config import (
+    FEConfig,
+    ModelParams,
+    OutputConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import Mesh, read_msh, reference_glass_mesh_1d
+from fem_glass_tempering_tpu.models.viscoelastic import ViscoState, ViscoelasticEngine
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.solver.newton import newton_solve
+
+
+@dataclass
+class StepDiagnostics:
+    """Per-solve diagnostics (replaces the reference's print-only telemetry,
+    SURVEY.md §5): Newton iteration counts, CG totals, convergence flag,
+    wall-clock per phase."""
+
+    newton_iters: int = 0
+    krylov_iters: int = 0
+    converged: bool = True
+    heat_seconds: float = 0.0
+    material_seconds: float = 0.0
+    io_seconds: float = 0.0
+
+
+def _fe_config_from_dict(d: dict) -> FEConfig:
+    """Reference-style fe_config dict (main.py:24-27) -> FEConfig."""
+    return FEConfig(
+        T_family=d["T"]["element"], T_degree=d["T"]["degree"],
+        sigma_family=d["sigma"]["element"], sigma_degree=d["sigma"]["degree"],
+    )
+
+
+def _model_params_from_dict(d: dict) -> ModelParams:
+    """Reference-style model_params dict (main.py:29-55) -> ModelParams."""
+    known = {f.name for f in dataclasses.fields(ModelParams)}
+    return ModelParams(**{k: v for k, v in d.items() if k in known})
+
+
+class ThermoViscoProblem:
+    def __init__(self, mesh: Mesh | None = None, *,
+                 mesh_path: str | None = None,
+                 config: RunConfig | dict | None = None,
+                 time: tuple | None = None,
+                 dt: float | None = None,
+                 model_parameters: dict | ModelParams | None = None,
+                 physics_mode: str | None = None,
+                 dtype: Any = None,
+                 jit_options: dict | None = None):
+        # ---- resolve configuration (typed or reference-dict style) ----
+        if isinstance(config, dict):       # reference fe_config dict
+            run_cfg = RunConfig(fe=_fe_config_from_dict(config))
+        elif isinstance(config, RunConfig):
+            run_cfg = config
+        else:
+            run_cfg = RunConfig()
+        if time is not None or dt is not None:
+            t0, t1 = time if time is not None else (run_cfg.time.t_start, run_cfg.time.t_end)
+            run_cfg = dataclasses.replace(
+                run_cfg, time=TimeConfig(t_start=t0, t_end=t1,
+                                         dt=dt if dt is not None else run_cfg.time.dt))
+        if isinstance(model_parameters, dict):
+            run_cfg = dataclasses.replace(run_cfg, params=_model_params_from_dict(model_parameters))
+        elif isinstance(model_parameters, ModelParams):
+            run_cfg = dataclasses.replace(run_cfg, params=model_parameters)
+        if physics_mode is not None:
+            run_cfg = dataclasses.replace(run_cfg, physics_mode=physics_mode)
+        self.config = run_cfg
+        # jit_options accepted for constructor parity; XLA needs no CFFI flags
+        del jit_options
+
+        self.dtype = dtype or (jnp.float64 if run_cfg.dtype == "float64" else jnp.float32)
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
+        # ---- mesh ----
+        if mesh is not None:
+            self.mesh = mesh
+        elif mesh_path is not None:
+            self.mesh = read_msh(mesh_path)
+        else:
+            self.mesh = reference_glass_mesh_1d()
+        self.dim = self.mesh.tdim
+
+        # ---- spaces (scalar T space; tensor sigma space is blocked over the
+        # scalar sigma space, reference ThermoViscoProblem.py:61-103) ----
+        fe = run_cfg.fe
+        self.fs_T = FunctionSpace(self.mesh, fe.T_family, fe.T_degree)
+        self.fs_sigma = FunctionSpace(self.mesh, fe.sigma_family, fe.sigma_degree,
+                                      value_shape=(self.dim, self.dim))
+
+        self.dt = run_cfg.time.dt
+        self.time = (run_cfg.time.t_start, run_cfg.time.t_end)
+        self.t = run_cfg.time.t_start
+        self.n_steps = run_cfg.time.n_steps
+
+        self.params = run_cfg.params
+        self.engine = ViscoelasticEngine(
+            self.fs_T, self.fs_sigma, self.params, self.dt,
+            physics_mode=run_cfg.physics_mode, dtype=self.dtype,
+        )
+        self.heat: HeatOperator | None = None
+        self.state: ViscoState | None = None
+        self._writers: list = []
+        self.diagnostics = StepDiagnostics()
+        self._step_jit = None
+        self._multi_step_jit = None
+
+    # ------------------------------------------------------------------
+    def setup(self, dirichlet_bc: bool = False, output_dir: str | None = None) -> None:
+        """Initial conditions + solver + (optional) output writers.
+
+        Mirrors reference setup() (ThermoViscoProblem.py:176-184); the
+        Dirichlet option clamps the boundary to T_ambient and works.
+        """
+        sc = self.config.solver
+        bc_dofs = bc_val = None
+        if dirichlet_bc:
+            bc_dofs = self.fs_T.boundary_scalar_dofs()
+            bc_val = self.params.T_ambient
+        self.heat = HeatOperator(
+            self.fs_T, self.params, self.dt, dtype=self.dtype,
+            bc_dofs=bc_dofs, bc_value=bc_val,
+        )
+        self.state = self.engine.init_state()
+        self._build_step()
+        if output_dir is not None:
+            self.config = dataclasses.replace(
+                self.config,
+                output=dataclasses.replace(self.config.output, output_dir=output_dir))
+        self._history: list[dict] = []
+
+    def _build_step(self) -> None:
+        heat, engine, sc = self.heat, self.engine, self.config.solver
+
+        def step(state: ViscoState):
+            res = newton_solve(
+                lambda T: heat.residual(T, state.T),
+                state.T,
+                jac_diag_fn=heat.jacobian_diag if sc.preconditioner == "jacobi" else None,
+                rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
+                cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
+            )
+            new_state = engine.material_step(state, res.x)
+            return new_state, res.converged, res.iters, res.krylov_iters
+
+        self._step_jit = jax.jit(step, donate_argnums=0)
+
+        def multi_step(state: ViscoState, n: int):
+            def body(_, carry):
+                st, ok, ni, ki = carry
+                st2, conv, it, kit = step(st)
+                return st2, ok & conv, ni + it, ki + kit
+            return jax.lax.fori_loop(
+                0, n,
+                body,
+                (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)),
+            )
+
+        self._multi_step_jit = jax.jit(multi_step, static_argnums=1, donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def solve_timestep(self, check_convergence: bool = True) -> ViscoState:
+        """Advance one step (heat solve + material update), reference
+        solve_timestep parity (ThermoViscoProblem.py:367-381)."""
+        state, converged, iters, kiters = self._step_jit(self.state)
+        if check_convergence and not bool(converged):
+            raise RuntimeError(f"Newton failed to converge at t={self.t + self.dt}")
+        self.state = state
+        self.t += self.dt
+        self.diagnostics.newton_iters += int(iters)
+        self.diagnostics.krylov_iters += int(kiters)
+        return state
+
+    def solve(self, progress: bool = False,
+              on_snapshot: Callable[[float, ViscoState], None] | None = None) -> ViscoState:
+        """Run the full time loop (reference solve(),
+        ThermoViscoProblem.py:598-611) as jitted multi-step chunks between
+        output snapshots. Records end-to-end wall-clock like the reference's
+        sole timer, plus per-phase diagnostics."""
+        assert self.state is not None, "call setup() first"
+        t_start = _time.time()
+        we = self.config.output.write_every
+        chunk = we if we and we > 0 else self.n_steps
+        done = 0
+        while done < self.n_steps:
+            n = min(chunk, self.n_steps - done)
+            self.state, ok, ni, ki = self._multi_step_jit(self.state, n)
+            if not bool(ok):
+                raise RuntimeError(
+                    f"Newton failed to converge in steps {done}..{done + n}")
+            done += n
+            self.t = self.time[0] + done * self.dt
+            self.diagnostics.newton_iters += int(ni)
+            self.diagnostics.krylov_iters += int(ki)
+            if on_snapshot is not None:
+                on_snapshot(self.t, self.state)
+            if progress:
+                print(f"t={self.t:.3f}")
+        jax.block_until_ready(self.state)
+        self.elapsed_seconds = _time.time() - t_start
+        if progress:
+            print(f"Solve finished in {self.elapsed_seconds} seconds.")
+        return self.state
