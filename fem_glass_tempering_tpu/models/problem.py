@@ -162,6 +162,59 @@ class ThermoViscoProblem:
                 self.config,
                 output=dataclasses.replace(self.config.output, output_dir=output_dir))
         self._history: list[dict] = []
+        self._setup_writers()
+
+    def _setup_writers(self) -> None:
+        """Instantiate the configured output writers (reference
+        _write_initial_output parity, ThermoViscoProblem.py:246-276 — T, phi,
+        Tf, xi streams + tensor sigma; our writers handle tensors directly)."""
+        self._writers = []
+        oc = self.config.output
+        if oc.write_every <= 0 or not oc.formats:
+            return
+        out = oc.output_dir
+        if "npz" in oc.formats:
+            from fem_glass_tempering_tpu.io.series import NPZSeriesWriter
+            self._writers.append(NPZSeriesWriter(f"{out}/series.npz"))
+        if "vtu" in oc.formats:
+            from fem_glass_tempering_tpu.io.vtu import VTUSeriesWriter
+            w = VTUSeriesWriter(out, "visco", self.mesh)
+            w.write = self._wrap_vtu(w)  # type: ignore[method-assign]
+            self._writers.append(w)
+        if "xdmf" in oc.formats:
+            from fem_glass_tempering_tpu.io.xdmf import XDMFWriter
+            w = XDMFWriter(f"{out}/sigma.xdmf", self.mesh)
+            orig = w.write_function
+            w.write = lambda t, state: orig(  # type: ignore[attr-defined]
+                "Stress_tensor", self.fs_sigma, state.sigma, t)
+            self._writers.append(w)
+
+    def _wrap_vtu(self, w):
+        orig_write = type(w).write
+
+        def write(t, state):
+            orig_write(w, t, {
+                "Temperature": (self.fs_T, np.asarray(state.T)),
+                "Fictive_Temperature": (self.fs_T, np.asarray(state.Tf)),
+                "Shift_function": (self.fs_T, np.asarray(state.phi)),
+                "Shifted_time": (self.fs_T, np.asarray(state.xi)),
+                "Stress_tensor": (self.fs_sigma, np.asarray(state.sigma)),
+            })
+        return write
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        from fem_glass_tempering_tpu.io.checkpoint import save_checkpoint
+        save_checkpoint(path, self.state, config=self.config,
+                        extra={"t": self.t})
+
+    def resume_from(self, path: str) -> None:
+        """Restore state + time from a checkpoint (capability the reference
+        lacks entirely, SURVEY.md §5)."""
+        from fem_glass_tempering_tpu.io.checkpoint import load_checkpoint
+        state, meta = load_checkpoint(path, dtype=self.dtype)
+        self.state = state
+        self.t = float(meta.get("extra", {}).get("t", float(state.t)))
 
     def _build_step(self) -> None:
         heat, engine, sc = self.heat, self.engine, self.config.solver
@@ -226,12 +279,28 @@ class ThermoViscoProblem:
             self.t = self.time[0] + done * self.dt
             self.diagnostics.newton_iters += int(ni)
             self.diagnostics.krylov_iters += int(ki)
+            t_io = _time.time()
+            for w in self._writers:
+                w.write(self.t, self.state)
+            ce = self.config.output.checkpoint_every
+            if ce and done % ce == 0:
+                self.save_checkpoint(
+                    f"{self.config.output.output_dir}/checkpoint_{done:06d}.npz")
+            self.diagnostics.io_seconds += _time.time() - t_io
             if on_snapshot is not None:
                 on_snapshot(self.t, self.state)
             if progress:
                 print(f"t={self.t:.3f}")
         jax.block_until_ready(self.state)
         self.elapsed_seconds = _time.time() - t_start
+        self._finalize()
         if progress:
             print(f"Solve finished in {self.elapsed_seconds} seconds.")
         return self.state
+
+    def _finalize(self) -> None:
+        for w in self._writers:
+            try:
+                w.close()
+            except TypeError:
+                pass
