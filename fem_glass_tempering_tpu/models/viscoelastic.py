@@ -192,11 +192,18 @@ class ViscoelasticEngine:
         return 1.0 - y + 0.5 * y * y
 
     def material_step(self, state: ViscoState, T_new: jnp.ndarray) -> ViscoState:
+        return self.material_step_with(state, T_new, self.to_sigma.eval)
+
+    def material_step_with(self, state: ViscoState, T_new: jnp.ndarray,
+                           ev) -> ViscoState:
         """Advance all material fields given the freshly solved temperature.
 
         Mirrors solve_timestep's post-heat cascade
         (ThermoViscoProblem.py:370-379) with the rotation semantics of the
-        selected physics_mode.
+        selected physics_mode. `ev(name, dof_array)` evaluates a T-space
+        field at the sigma-space points — the default is the global
+        CrossEval; the domain-decomposed path passes a device-local
+        evaluator (parallel/domain.py).
         """
         p = self.params
         dt = self.dt
@@ -214,7 +221,6 @@ class ViscoelasticEngine:
         xi = 0.5 * dt * (phi_next - phi)                               # eq. 19
 
         # ---- evaluate T-space quantities at sigma-space points ----
-        ev = self.to_sigma.eval
         T_s = ev("T", T_new)
         T_prev_s = ev("T", state.T_prev)
         xi_s = ev("T", xi)

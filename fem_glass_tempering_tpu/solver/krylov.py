@@ -28,7 +28,17 @@ class PCGResult(NamedTuple):
 
 def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
         diag: jnp.ndarray | None = None, rtol: float = 1e-12,
-        atol: float = 0.0, max_it: int = 1000) -> PCGResult:
+        atol: float = 0.0, max_it: int = 1000,
+        dot: Callable | None = None) -> PCGResult:
+    """`dot` overrides the inner product — inside shard_map regions pass a
+    psum-reduced dot so convergence tests are global (the PETSc/MPI
+    reduction pattern, SURVEY.md §5 item 2)."""
+    if dot is None:
+        dot = jnp.vdot
+
+    def norm(v):
+        return jnp.sqrt(dot(v, v))
+
     x = jnp.zeros_like(b) if x0 is None else x0
     inv_diag = None if diag is None else 1.0 / diag
 
@@ -38,27 +48,27 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
     r = b - matvec(x)
     z = apply_M(r)
     p = z
-    rz = jnp.vdot(r, z)
-    bnorm = jnp.linalg.norm(b)
+    rz = dot(r, z)
+    bnorm = norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.linalg.norm(r) > tol) & (k < max_it)
+        return (norm(r) > tol) & (k < max_it)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = apply_M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         return x, r, z, p, rz_new, k + 1
 
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x, r, z, p, rz, jnp.int32(0)))
-    rnorm = jnp.linalg.norm(r)
+    rnorm = norm(r)
     return PCGResult(x=x, iters=k, converged=rnorm <= tol, residual_norm=rnorm)

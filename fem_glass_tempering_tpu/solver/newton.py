@@ -30,9 +30,16 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  jac_diag_fn: Callable | None = None,
                  rtol: float = 1e-12, atol: float = 1e-10, max_it: int = 50,
                  cg_rtol: float = 1e-12, cg_atol: float = 0.0,
-                 cg_max_it: int = 1000) -> NewtonResult:
+                 cg_max_it: int = 1000,
+                 dot: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
-    solution, as in the reference where T_current seeds each solve)."""
+    solution, as in the reference where T_current seeds each solve).
+    `dot` overrides the inner product for distributed (shard_map) use."""
+    if dot is None:
+        dot = jnp.vdot
+
+    def norm(v):
+        return jnp.sqrt(dot(v, v))
 
     def cond(state):
         x, k, converged, dxn, cg_total = state
@@ -47,10 +54,10 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
 
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
         lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                  max_it=cg_max_it)
+                  max_it=cg_max_it, dot=dot)
         x_new = x + lin.x
-        dxn = jnp.linalg.norm(lin.x)
-        conv = dxn <= rtol * jnp.linalg.norm(x_new) + atol
+        dxn = norm(lin.x)
+        conv = dxn <= rtol * norm(x_new) + atol
         return x_new, k + 1, conv, dxn, cg_total + lin.iters
 
     x0 = jnp.asarray(x0)
