@@ -21,9 +21,10 @@ import subprocess
 import sys
 import time
 
-# plate discretization + step count (keep total bench under a few minutes)
-NX, NY, NZ = 48, 48, 12          # 27648 hex cells, 31213 CG-1 dofs
-WARMUP_STEPS = 2
+# plate discretization + step count (keep total bench under a few minutes —
+# compilation through the TPU tunnel is the dominant cost, so exactly ONE
+# program is compiled: multi_step with a single static step count)
+NX, NY, NZ = 32, 32, 8           # 8192 hex cells, 9801 CG-1 dofs
 TIMED_STEPS = 20
 
 
@@ -36,8 +37,8 @@ def run_backend() -> float:
 
     prob = _build_problem(NX, NY, NZ, "float32",
                           newton_rtol=1e-5, cg_rtol=1e-5)
-    # warmup: compile multi_step
-    state, ok, _, _ = prob._multi_step_jit(prob.state, WARMUP_STEPS)
+    # warmup + compile: same static step count as the timed run
+    state, ok, _, _ = prob._multi_step_jit(prob.state, TIMED_STEPS)
     jax.block_until_ready(state)
     assert bool(ok), "Newton failed in warmup"
     t0 = time.perf_counter()

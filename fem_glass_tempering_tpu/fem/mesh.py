@@ -105,7 +105,20 @@ class Mesh:
         """Enumerate facets; classify boundary (1 incident cell) vs interior
         (2 incident cells). '+' restriction = lower cell index, fixed and
         documented (dolfinx makes an equivalent arbitrary-but-consistent
-        choice for interior-facet integrals)."""
+        choice for interior-facet integrals). Output is normalized: boundary
+        sorted by (cell, local_facet), interior by (cell_p, local_facet_p) —
+        the native C++ fast path (csrc/runtime.cpp) emits the identical
+        layout, so the two are interchangeable bit-for-bit."""
+        from fem_glass_tempering_tpu.utils.native import native_build_facets
+
+        res = native_build_facets(self.cells, self.ref_cell)
+        if res is None:
+            res = self._build_facets_numpy()
+        (self.boundary_cell, self.boundary_local_facet,
+         self.interior_cell_p, self.interior_local_facet_p,
+         self.interior_cell_m, self.interior_local_facet_m) = res
+
+    def _build_facets_numpy(self):
         rc = self.ref_cell
         facet_map: dict[tuple, list[tuple[int, int]]] = {}
         cells = self.cells
@@ -115,26 +128,21 @@ class Mesh:
             for c in range(len(cells)):
                 key = tuple(fv_sorted[c])
                 facet_map.setdefault(key, []).append((c, lf))
-        b_cell, b_lf = [], []
-        i_cp, i_lfp, i_cm, i_lfm = [], [], [], []
+        b, i = [], []
         for key, inc in facet_map.items():
             if len(inc) == 1:
-                b_cell.append(inc[0][0])
-                b_lf.append(inc[0][1])
+                b.append(inc[0])
             elif len(inc) == 2:
                 (c0, l0), (c1, l1) = sorted(inc)
-                i_cp.append(c0)
-                i_lfp.append(l0)
-                i_cm.append(c1)
-                i_lfm.append(l1)
+                i.append((c0, l0, c1, l1))
             else:
                 raise ValueError(f"facet {key} has {len(inc)} incident cells")
-        self.boundary_cell = np.asarray(b_cell, dtype=np.int32)
-        self.boundary_local_facet = np.asarray(b_lf, dtype=np.int32)
-        self.interior_cell_p = np.asarray(i_cp, dtype=np.int32)
-        self.interior_local_facet_p = np.asarray(i_lfp, dtype=np.int32)
-        self.interior_cell_m = np.asarray(i_cm, dtype=np.int32)
-        self.interior_local_facet_m = np.asarray(i_lfm, dtype=np.int32)
+        b.sort()
+        i.sort()
+        b_arr = np.asarray(b, dtype=np.int32).reshape(-1, 2)
+        i_arr = np.asarray(i, dtype=np.int32).reshape(-1, 4)
+        return (b_arr[:, 0], b_arr[:, 1],
+                i_arr[:, 0], i_arr[:, 1], i_arr[:, 2], i_arr[:, 3])
 
 
 # ======================================================================
@@ -281,6 +289,19 @@ def read_msh(path: str, gdim: int | None = None) -> Mesh:
     (gmshio.read_from_msh, ThermoViscoProblem.py:27-28). A native C++
     fast-path lives in csrc/ (runtime.cpp) with this as fallback.
     """
+    from fem_glass_tempering_tpu.utils.native import native_parse_msh
+
+    _ETYPE_NAME = {1: "interval", 2: "triangle", 3: "quad", 4: "tet", 5: "hex"}
+    nat = native_parse_msh(path)
+    if nat is not None:
+        coords, raw_cells, etype = nat
+        name = _ETYPE_NAME[etype]
+        perm = _GMSH_PERM[name]
+        cells = raw_cells[:, perm].astype(np.int32)
+        tdim = get_cell(name).tdim
+        g = gdim if gdim is not None else tdim
+        return Mesh(name, coords[:, :g], cells)
+
     with open(path) as f:
         lines = f.read().splitlines()
     i = 0
