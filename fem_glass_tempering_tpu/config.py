@@ -51,9 +51,12 @@ class TimeConfig:
 
     @property
     def n_steps(self) -> int:
+        """ceil((t_end - t_start)/dt), with an epsilon so fp noise in
+        t_end = n*dt round-trips to exactly n (the reference's bare ceil,
+        ThermoViscoProblem.py-equivalent, would give n+1)."""
         import math
 
-        return math.ceil((self.t_end - self.t_start) / self.dt)
+        return math.ceil((self.t_end - self.t_start) / self.dt - 1e-9)
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,83 @@
+"""CLI driver, msh writer round-trip, dense direct solver tests."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_glass_tempering_tpu.config import ModelParams
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import (
+    box_mesh_2d,
+    box_mesh_3d,
+    read_msh,
+    reference_glass_mesh_1d,
+)
+from fem_glass_tempering_tpu.fem.mshio import create_mesh, write_msh
+from fem_glass_tempering_tpu.main import main
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.solver.direct import newton_direct
+from fem_glass_tempering_tpu.solver.newton import newton_solve
+
+
+@pytest.mark.parametrize("mesher", [
+    lambda: reference_glass_mesh_1d(),
+    lambda: box_mesh_2d(3, 2, cell_type="triangle"),
+    lambda: box_mesh_3d(2, 2, 2),
+])
+def test_msh_roundtrip(tmp_path, mesher):
+    m = mesher()
+    p = str(tmp_path / "m.msh")
+    write_msh(p, m)
+    m2 = read_msh(p, gdim=m.gdim)
+    assert m2.cell_type == m.cell_type
+    np.testing.assert_allclose(m2.nodes, m.nodes, atol=1e-12)
+    np.testing.assert_array_equal(m2.cells, m.cells)
+
+
+def test_create_mesh_reference_parity(tmp_path):
+    """create_mesh(path) mirrors the reference entry point
+    (geometry.py:3-29): writes the graded 1D glass mesh as .msh."""
+    p = str(tmp_path / "mesh1d.msh")
+    create_mesh(p)
+    m = read_msh(p, gdim=1)
+    assert m.cell_type == "interval"
+    assert m.nodes[:, 0].min() == 0.0 and m.nodes[:, 0].max() == 50.0
+
+
+def test_cli_short_run(tmp_path, capsys):
+    rc = main([
+        "--steps", "3", "--output-dir", str(tmp_path),
+        "--write-every", "0", "--formats", "",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = json.loads(out)
+    assert stats["n_steps"] == 3
+    assert stats["newton_iters"] > 0
+
+
+def test_cli_write_mesh(tmp_path, capsys):
+    p = str(tmp_path / "plate.msh")
+    rc = main(["--problem-dim", "2", "--nx", "4", "--ny", "3",
+               "--write-mesh", p])
+    assert rc == 0
+    m = read_msh(p)
+    assert m.n_cells == 12
+
+
+def test_direct_newton_matches_krylov():
+    """MUMPS-stand-in dense Newton == matrix-free Newton-CG on a real
+    nonlinear tempering step."""
+    m = reference_glass_mesh_1d()
+    fs = FunctionSpace(m, "DG", 1)
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1)
+    T_prev = jnp.full(fs.n_scalar_dofs, p.T_0)
+    res_fn = lambda T: op.residual(T, T_prev)
+    x_d, it_d, conv_d = newton_direct(res_fn, T_prev)
+    res_k = newton_solve(res_fn, T_prev, jac_diag_fn=op.jacobian_diag)
+    assert bool(conv_d) and bool(res_k.converged)
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(res_k.x),
+                               rtol=1e-10)
