@@ -101,6 +101,11 @@ class SolverConfig:
     cg_atol: float = 0.0
     cg_max_it: int = 1000
     preconditioner: str = "jacobi"  # 'jacobi' | 'none'
+    # failure handling (the reference just aborts via assert,
+    # ThermoViscoProblem.py:390): 'raise' | 'halve_dt' (retry the failed
+    # chunk at dt/2 — same compiled program, dt is a traced scalar)
+    on_failure: str = "raise"
+    max_dt_halvings: int = 4
 
 
 @dataclass(frozen=True)
@@ -130,6 +135,8 @@ class RunConfig:
     physics_mode: str = "reference"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
+    # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)
+    use_pallas: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -150,6 +157,7 @@ class RunConfig:
             ),
             physics_mode=raw.get("physics_mode", "reference"),
             dtype=raw.get("dtype", "float64"),
+            use_pallas=raw.get("use_pallas", False),
         )
 
 

@@ -131,6 +131,7 @@ class ThermoViscoProblem:
         self.engine = ViscoelasticEngine(
             self.fs_T, self.fs_sigma, self.params, self.dt,
             physics_mode=run_cfg.physics_mode, dtype=self.dtype,
+            use_pallas=run_cfg.use_pallas,
         )
         self.heat: HeatOperator | None = None
         self.state: ViscoState | None = None
@@ -218,24 +219,29 @@ class ThermoViscoProblem:
 
     def _build_step(self) -> None:
         heat, engine, sc = self.heat, self.engine, self.config.solver
+        default_dt = self.dt
 
-        def step(state: ViscoState):
+        def step(state: ViscoState, dt):
             res = newton_solve(
-                lambda T: heat.residual(T, state.T),
+                lambda T: heat.residual(T, state.T, dt),
                 state.T,
-                jac_diag_fn=heat.jacobian_diag if sc.preconditioner == "jacobi" else None,
+                jac_diag_fn=(lambda T: heat.jacobian_diag(T, dt))
+                if sc.preconditioner == "jacobi" else None,
                 rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
                 cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
             )
-            new_state = engine.material_step(state, res.x)
-            return new_state, res.converged, res.iters, res.krylov_iters
+            new_state = engine.material_step(state, res.x, dt)
+            finite = jnp.isfinite(res.x).all()
+            return new_state, res.converged & finite, res.iters, res.krylov_iters
 
-        self._step_jit = jax.jit(step, donate_argnums=0)
+        self._step_fn = step
+        self._step_jit = jax.jit(
+            lambda state, dt=default_dt: step(state, dt), donate_argnums=0)
 
-        def multi_step(state: ViscoState, n: int):
+        def multi_step(state: ViscoState, n: int, dt):
             def body(_, carry):
                 st, ok, ni, ki = carry
-                st2, conv, it, kit = step(st)
+                st2, conv, it, kit = step(st, dt)
                 return st2, ok & conv, ni + it, ki + kit
             return jax.lax.fori_loop(
                 0, n,
@@ -243,7 +249,11 @@ class ThermoViscoProblem:
                 (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)),
             )
 
-        self._multi_step_jit = jax.jit(multi_step, static_argnums=1, donate_argnums=0)
+        self._multi_step_raw = multi_step
+        self._multi_step_dt = jax.jit(multi_step, static_argnums=1)
+        self._multi_step_jit = jax.jit(
+            lambda state, n: multi_step(state, n, default_dt),
+            static_argnums=1, donate_argnums=0)
 
     # ------------------------------------------------------------------
     def solve_timestep(self, check_convergence: bool = True) -> ViscoState:
@@ -268,13 +278,18 @@ class ThermoViscoProblem:
         t_start = _time.time()
         we = self.config.output.write_every
         chunk = we if we and we > 0 else self.n_steps
+        adaptive = self.config.solver.on_failure == "halve_dt"
         done = 0
         while done < self.n_steps:
             n = min(chunk, self.n_steps - done)
+            if adaptive:
+                snapshot = jax.device_get(self.state)
             self.state, ok, ni, ki = self._multi_step_jit(self.state, n)
             if not bool(ok):
-                raise RuntimeError(
-                    f"Newton failed to converge in steps {done}..{done + n}")
+                if not adaptive:
+                    raise RuntimeError(
+                        f"Newton failed to converge in steps {done}..{done + n}")
+                self.state, ni, ki = self._retry_chunk(snapshot, n)
             done += n
             self.t = self.time[0] + done * self.dt
             self.diagnostics.newton_iters += int(ni)
@@ -297,6 +312,33 @@ class ThermoViscoProblem:
         if progress:
             print(f"Solve finished in {self.elapsed_seconds} seconds.")
         return self.state
+
+    def _retry_chunk(self, snapshot, n: int):
+        """Failure recovery (absent in the reference, which aborts —
+        ThermoViscoProblem.py:390): rerun a failed n-step chunk at
+        successively halved dt. Each halving runs the SAME compiled
+        program twice per level with dt/2 (dt is a traced scalar), so no
+        recompilation. Raises after solver.max_dt_halvings levels."""
+        sc = self.config.solver
+        dt = self.dt
+        for level in range(1, sc.max_dt_halvings + 1):
+            dt = dt / 2.0
+            state = jax.device_put(snapshot)
+            ok_all = True
+            ni_tot = ki_tot = 0
+            for _ in range(2 ** level):
+                state, ok, ni, ki = self._multi_step_dt(state, n, dt)
+                ni_tot += int(ni)
+                ki_tot += int(ki)
+                if not bool(ok):
+                    ok_all = False
+                    break
+            if ok_all:
+                self.diagnostics.dt_halvings = getattr(
+                    self.diagnostics, "dt_halvings", 0) + level
+                return state, ni_tot, ki_tot
+        raise RuntimeError(
+            f"Newton failed even after {sc.max_dt_halvings} dt halvings")
 
     def _finalize(self) -> None:
         for w in self._writers:

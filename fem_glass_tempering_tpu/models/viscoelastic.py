@@ -120,11 +120,14 @@ class ViscoelasticEngine:
                  tableaus: PronyTableaus | None = None,
                  physics_mode: str = "reference",
                  shift_function: str = "eq5",
+                 use_pallas: bool = False,
                  dtype=jnp.float64):
         if physics_mode not in ("reference", "corrected"):
             raise ValueError(physics_mode)
         if shift_function not in ("eq5", "eq25"):
             raise ValueError(shift_function)
+        # hand-fused Pallas path for the T-space chain (eq5 shift only)
+        self.use_pallas = bool(use_pallas) and shift_function == "eq5"
         self.fs_T = fs_T
         self.fs_sigma = fs_sigma
         self.params = params
@@ -191,11 +194,12 @@ class ViscoelasticEngine:
         ViscoelasticModel.py:233-242)."""
         return 1.0 - y + 0.5 * y * y
 
-    def material_step(self, state: ViscoState, T_new: jnp.ndarray) -> ViscoState:
-        return self.material_step_with(state, T_new, self.to_sigma.eval)
+    def material_step(self, state: ViscoState, T_new: jnp.ndarray,
+                      dt=None) -> ViscoState:
+        return self.material_step_with(state, T_new, self.to_sigma.eval, dt)
 
     def material_step_with(self, state: ViscoState, T_new: jnp.ndarray,
-                           ev) -> ViscoState:
+                           ev, dt=None) -> ViscoState:
         """Advance all material fields given the freshly solved temperature.
 
         Mirrors solve_timestep's post-heat cascade
@@ -206,19 +210,28 @@ class ViscoelasticEngine:
         evaluator (parallel/domain.py).
         """
         p = self.params
-        dt = self.dt
+        dt = self.dt if dt is None else dt
         ref = self.mode == "reference"
 
         # ---- T-space pointwise chain ----
-        phi = self._phi_of(T_new, state.Tf)           # shift function
-        Tf_partial = (
-            self.lambda_m_n[None, :] * state.Tf_partial
-            + (T_new * dt * phi)[:, None]
-        ) / (self.lambda_m_n[None, :] + (dt * phi)[:, None])          # eq. 24
-        Tf = Tf_partial @ self.m_n                                     # eq. 26
-        T_next = 2.0 * T_new - state.T_prev           # linear predictor
-        phi_next = self._phi_of(T_next, Tf)
-        xi = 0.5 * dt * (phi_next - phi)                               # eq. 19
+        if self.use_pallas:
+            from fem_glass_tempering_tpu.ops.pallas_kernels import (
+                material_tspace_pallas,
+            )
+            phi, Tf_partial, Tf, xi = material_tspace_pallas(
+                T_new, state.T_prev, state.Tf_partial, dt=dt,
+                H_over_Rg=p.H / p.Rg, Tb=p.Tb, m_n=self.m_n,
+                lambda_m_n=self.lambda_m_n)
+        else:
+            phi = self._phi_of(T_new, state.Tf)       # shift function
+            Tf_partial = (
+                self.lambda_m_n[None, :] * state.Tf_partial
+                + (T_new * dt * phi)[:, None]
+            ) / (self.lambda_m_n[None, :] + (dt * phi)[:, None])      # eq. 24
+            Tf = Tf_partial @ self.m_n                                 # eq. 26
+            T_next = 2.0 * T_new - state.T_prev       # linear predictor
+            phi_next = self._phi_of(T_next, Tf)
+            xi = 0.5 * dt * (phi_next - phi)                           # eq. 19
 
         # ---- evaluate T-space quantities at sigma-space points ----
         T_s = ev("T", T_new)

@@ -96,9 +96,10 @@ class HeatOperator:
             num_segments=self.n_dofs,
         )
 
-    def _base_residual(self, T: jnp.ndarray, T_prev: jnp.ndarray) -> jnp.ndarray:
+    def _base_residual(self, T: jnp.ndarray, T_prev: jnp.ndarray,
+                       dt=None) -> jnp.ndarray:
         p = self.params
-        dt = self.dt
+        dt = self.dt if dt is None else dt
         # ---- cell integrals ----
         Tc = T[self.dofmap]                                # (c, l)
         Tpc = T_prev[self.dofmap]
@@ -150,44 +151,51 @@ class HeatOperator:
             r += self._scatter(r_m, self.i_dofmap_m)
         return r
 
-    def residual(self, T: jnp.ndarray, T_prev: jnp.ndarray) -> jnp.ndarray:
-        """Assembled residual, with Dirichlet lifting if configured."""
+    def residual(self, T: jnp.ndarray, T_prev: jnp.ndarray,
+                 dt=None) -> jnp.ndarray:
+        """Assembled residual, with Dirichlet lifting if configured.
+        `dt` may be a traced scalar (dt-adaptive retry path) or None for
+        the constructor value."""
         if not self.has_bc:
-            return self._base_residual(T, T_prev)
+            return self._base_residual(T, T_prev, dt)
         T_eff = jnp.where(self.bc_mask, self.bc_values, T)
-        r = self._base_residual(T_eff, T_prev)
+        r = self._base_residual(T_eff, T_prev, dt)
         return jnp.where(self.bc_mask, T - self.bc_values, r)
 
     # ------------------------------------------------------------------
-    def _build_constant_diag(self) -> jnp.ndarray:
-        """T-independent part of diag(J): mass + diffusion + SIPG."""
+    def _build_constant_diag(self) -> tuple:
+        """T-independent parts of diag(J), split so dt can stay a traced
+        scalar: (mass_diag, stiff_diag) with diag = mass + dt * stiff."""
         p = self.params
-        dt = self.dt
-        d_cell = jnp.einsum("cq,ql,ql->cl", self.qw, self.phi, self.phi)
-        d_cell += dt * p.alpha * jnp.einsum(
-            "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi
-        )
-        d = self._scatter(d_cell, self.dofmap)
+        d_mass = self._scatter(
+            jnp.einsum("cq,ql,ql->cl", self.qw, self.phi, self.phi),
+            self.dofmap)
+        d_stiff = self._scatter(
+            p.alpha * jnp.einsum(
+                "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi),
+            self.dofmap)
         if self.is_dg:
-            coef = dt * p.alpha * self.i_qw
+            coef = p.alpha * self.i_qw
             pen_h = (p.dg_penalty / self.i_h_p)[:, None]
             d_p = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_p, self.i_phi_p) \
                 - jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_p, self.i_dnphi_p)
             d_m = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_m, self.i_phi_m) \
                 + jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_m, self.i_dnphi_m)
-            d += self._scatter(d_p, self.i_dofmap_p)
-            d += self._scatter(d_m, self.i_dofmap_m)
-        return d
+            d_stiff += self._scatter(d_p, self.i_dofmap_p)
+            d_stiff += self._scatter(d_m, self.i_dofmap_m)
+        return d_mass, d_stiff
 
-    def jacobian_diag(self, T: jnp.ndarray) -> jnp.ndarray:
+    def jacobian_diag(self, T: jnp.ndarray, dt=None) -> jnp.ndarray:
         """Exact diag(dF/dT) at T — Jacobi preconditioner for CG."""
         p = self.params
+        dt = self.dt if dt is None else dt
         Tb = jnp.einsum("fql,fl->fq", self.b_phi, T[self.b_dofmap])
         dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
         d_b = jnp.einsum(
-            "fq,fql,fql->fl", self.b_qw * self.dt * dflux, self.b_phi, self.b_phi
+            "fq,fql,fql->fl", self.b_qw * dt * dflux, self.b_phi, self.b_phi
         )
-        d = self._const_diag + self._scatter(d_b, self.b_dofmap)
+        d_mass, d_stiff = self._const_diag
+        d = d_mass + dt * d_stiff + self._scatter(d_b, self.b_dofmap)
         if self.has_bc:
             d = jnp.where(self.bc_mask, 1.0, d)
         return d
