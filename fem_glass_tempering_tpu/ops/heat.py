@@ -41,7 +41,8 @@ from fem_glass_tempering_tpu.ops.assembly import (
 class HeatOperator:
     def __init__(self, fs: FunctionSpace, params: ModelParams, dt: float,
                  dtype=jnp.float64, quad_degree: int | None = None,
-                 bc_dofs: np.ndarray | None = None, bc_value: float | None = None):
+                 bc_dofs: np.ndarray | None = None, bc_value: float | None = None,
+                 source: np.ndarray | None = None):
         self.fs = fs
         self.params = params
         self.dt = float(dt)
@@ -63,6 +64,15 @@ class HeatOperator:
         self.b_dofmap = i32(fs.dofmap[bg.cell])           # (f, l)
         self.b_qw = f32(bg.qweights)                      # (f, q)
         self.b_phi = f32(bg.phi)                          # (f, q, l)
+
+        # optional spatially varying source field (dof array of fs); adds to
+        # the constant params.f in the -f*v*dx term. Used by the MMS tests.
+        if source is not None:
+            src_q = np.einsum("ql,cl->cq", np.asarray(cg.phi),
+                              np.asarray(source)[fs.dofmap])
+            self.source_q = f32(src_q)                    # (c, q)
+        else:
+            self.source_q = None
 
         if self.is_dg:
             ig = build_interior_geometry(mesh, fs, quad_degree)
@@ -106,7 +116,8 @@ class HeatOperator:
         Tq = Tc @ self.phi.T                               # (c, q)
         Tpq = Tpc @ self.phi.T
         gTq = jnp.einsum("cl,cqlg->cqg", Tc, self.gphi)    # (c, q, g)
-        mass_src = self.qw * ((Tq - Tpq) - dt * p.f)       # (c, q)
+        f_q = p.f if self.source_q is None else p.f + self.source_q
+        mass_src = self.qw * ((Tq - Tpq) - dt * f_q)       # (c, q)
         r_cell = jnp.einsum("cq,ql->cl", mass_src, self.phi)
         r_cell += dt * p.alpha * jnp.einsum(
             "cqg,cqlg->cl", self.qw[..., None] * gTq, self.gphi

@@ -143,28 +143,40 @@ def material_tspace_pallas(T, T_prev, Tf_partial_prev, *, dt, H_over_Rg,
 # 2. DG cell residual (mass + diffusion + source), fused + linear custom_jvp
 # ======================================================================
 
-def _dg_cell_kernel(phi_ref, Tc_ref, Tpc_ref, qw_ref, gphi_ref, out_ref, *,
-                    dt, alpha, f_src):
+def _dg_cell_kernel(phiT_ref, Tc_ref, Tpc_ref, qw_ref, gphiT_ref, out_ref, *,
+                    dt, alpha, f_src, nloc, gdim):
     """One block of cells: Tc (B, nloc) -> r (B, nloc).
 
-    phi_ref is the (q, nloc) tabulation (replicated per block); gphi
-    (B, q, nloc, g) and qw (B, q) stream from VMEM.
+    Fully unrolled over (nloc, gdim) — every op is a 2D (B, q) VPU
+    elementwise/broadcast or a q-axis reduction, which Mosaic lowers
+    directly (batched 4D dot_general does not). Layouts: phiT (nloc, q)
+    replicated; gphiT (nloc, gdim, B, q) so slices are leading-dim indexed.
     """
     Tc = Tc_ref[:]                       # (B, l)
     Tpc = Tpc_ref[:]
     qw = qw_ref[:]                       # (B, q)
-    gphi = gphi_ref[:]                   # (B, q, l, g)
-    phi = phi_ref[:]                     # (q, l)
-    Tq = jax.lax.dot_general(Tc, phi.T, (((1,), (0,)), ((), ())),
-                             preferred_element_type=Tc.dtype)   # (B, q)
-    Tpq = jax.lax.dot_general(Tpc, phi.T, (((1,), (0,)), ((), ())),
-                              preferred_element_type=Tc.dtype)
+    phiT = phiT_ref[:]                   # (l, q)
+    # Tq[b,q] = sum_l Tc[b,l] phi[q,l] — unrolled broadcast products
+    Tq = Tc[:, 0:1] * phiT[0:1, :]
+    Tpq = Tpc[:, 0:1] * phiT[0:1, :]
+    for l in range(1, nloc):
+        Tq = Tq + Tc[:, l:l + 1] * phiT[l:l + 1, :]
+        Tpq = Tpq + Tpc[:, l:l + 1] * phiT[l:l + 1, :]
     mass_src = qw * ((Tq - Tpq) - dt * f_src)                   # (B, q)
-    r = jax.lax.dot_general(mass_src, phi, (((1,), (0,)), ((), ())),
-                            preferred_element_type=Tc.dtype)    # (B, l)
-    gTq = jnp.einsum("bl,bqlg->bqg", Tc, gphi)                  # (B, q, g)
-    r = r + dt * alpha * jnp.einsum("bqg,bqlg->bl", qw[..., None] * gTq, gphi)
-    out_ref[:] = r
+    # diffusion: coef_g = dt*alpha*qw * (sum_l Tc_l gphi[l,g])
+    coefs = []
+    for g in range(gdim):
+        gT = Tc[:, 0:1] * gphiT_ref[0, g]
+        for l in range(1, nloc):
+            gT = gT + Tc[:, l:l + 1] * gphiT_ref[l, g]
+        coefs.append(dt * alpha * qw * gT)                      # (B, q)
+    cols = []
+    for l in range(nloc):
+        acc = mass_src * phiT[l:l + 1, :]
+        for g in range(gdim):
+            acc = acc + coefs[g] * gphiT_ref[l, g]
+        cols.append(jnp.sum(acc, axis=1, keepdims=True))        # (B, 1)
+    out_ref[:] = jnp.concatenate(cols, axis=1)
 
 
 def _dg_cell_residual_impl(Tc, Tpc, qw, gphi, *, phi_tab, dt, alpha, f_src,
@@ -174,30 +186,33 @@ def _dg_cell_residual_impl(Tc, Tpc, qw, gphi, *, phi_tab, dt, alpha, f_src,
     g = gphi.shape[-1]
     B = block_cells
     n_pad = (-n_cells) % B
+    # kernel layout: gphiT (nloc, gdim, cells, q) for leading-dim slicing
+    gphiT = jnp.transpose(gphi, (2, 3, 0, 1))
     if n_pad:
         Tc = jnp.pad(Tc, ((0, n_pad), (0, 0)))
         Tpc = jnp.pad(Tpc, ((0, n_pad), (0, 0)))
         qw = jnp.pad(qw, ((0, n_pad), (0, 0)))
-        gphi = jnp.pad(gphi, ((0, n_pad), (0, 0), (0, 0), (0, 0)))
+        gphiT = jnp.pad(gphiT, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
     grid = ((n_cells + n_pad) // B,)
-    kernel = partial(_dg_cell_kernel, dt=dt, alpha=alpha, f_src=f_src)
-    phi_arr = jnp.asarray(phi_tab, dtype=Tc.dtype)
+    kernel = partial(_dg_cell_kernel, dt=dt, alpha=alpha, f_src=f_src,
+                     nloc=nloc, gdim=g)
+    phiT_arr = jnp.asarray(phi_tab, dtype=Tc.dtype).T   # (nloc, q)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q, nloc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nloc, q), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, nloc), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, nloc), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, q), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, q, nloc, g), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((nloc, g, B, q), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, nloc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_cells + n_pad, nloc), Tc.dtype),
         interpret=interpret,
-    )(phi_arr, Tc, Tpc, qw, gphi)
+    )(phiT_arr, Tc, Tpc, qw, gphiT)
     return out[:n_cells]
 
 
