@@ -133,6 +133,8 @@ class RunConfig:
     # including its dead-rotation quirks (see models/viscoelastic.py docstring);
     # 'corrected' uses the literature (Nielsen et al.) semantics.
     physics_mode: str = "reference"
+    # 'eq5' Arrhenius (the reference's live definition) | 'eq25' chi-weighted TN
+    shift_function: str = "eq5"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
     # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)
@@ -156,6 +158,7 @@ class RunConfig:
                 }
             ),
             physics_mode=raw.get("physics_mode", "reference"),
+            shift_function=raw.get("shift_function", "eq5"),
             dtype=raw.get("dtype", "float64"),
             use_pallas=raw.get("use_pallas", False),
         )

@@ -130,7 +130,8 @@ class ThermoViscoProblem:
         self.params = run_cfg.params
         self.engine = ViscoelasticEngine(
             self.fs_T, self.fs_sigma, self.params, self.dt,
-            physics_mode=run_cfg.physics_mode, dtype=self.dtype,
+            physics_mode=run_cfg.physics_mode,
+            shift_function=run_cfg.shift_function, dtype=self.dtype,
             use_pallas=run_cfg.use_pallas,
         )
         self.heat: HeatOperator | None = None

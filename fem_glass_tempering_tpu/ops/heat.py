@@ -52,7 +52,12 @@ class HeatOperator:
         self.is_dg = fs.family == "DG"
 
         cg = build_cell_geometry(mesh, fs, quad_degree)
-        bg = build_boundary_geometry(mesh, fs, quad_degree)
+        # boundary default degree 5p: the T^4 radiation integrand is degree
+        # 5p on facets (FFCx would estimate likewise for the reference's
+        # form, ThermoViscoProblem.py:302); facet counts are small so the
+        # extra points are cheap
+        bq = quad_degree if quad_degree is not None else 5 * fs.degree
+        bg = build_boundary_geometry(mesh, fs, bq)
         f32 = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 

@@ -96,7 +96,8 @@ class DDProblem:
         L = layout.n_local_cells
 
         cg = build_cell_geometry(mesh, fs)
-        bg = build_boundary_geometry(mesh, fs)
+        # boundary degree 5p matches HeatOperator (T^4 radiation integrand)
+        bg = build_boundary_geometry(mesh, fs, 5 * fs.degree)
         ig = build_interior_geometry(mesh, fs)
         q = cg.qweights.shape[1]
         g = mesh.gdim
