@@ -112,10 +112,11 @@ class DDProblem:
         # ---- boundary facets by owning device ----
         bdev = part[bg.cell]
         B = max(int((bdev == p).sum()) for p in range(Pn)) or 1
-        qf = bg.qweights.shape[1]
+        qfb = bg.qweights.shape[1]
+        qf = ig.qweights.shape[1] if len(ig.qweights) else 1
         b_slot = np.zeros((Pn, B), dtype=np.int32)
-        b_qw = np.zeros((Pn, B, qf))
-        b_phi = np.zeros((Pn, B, qf, nloc))
+        b_qw = np.zeros((Pn, B, qfb))
+        b_phi = np.zeros((Pn, B, qfb, nloc))
         slot_of_cell = aux["slot_of_cell"]
         for p in range(Pn):
             idx = np.nonzero(bdev == p)[0]
