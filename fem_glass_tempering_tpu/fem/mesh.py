@@ -51,6 +51,10 @@ class Mesh:
     interior_local_facet_p: np.ndarray = field(default=None)
     interior_cell_m: np.ndarray = field(default=None)       # (n_if,) '-' cell
     interior_local_facet_m: np.ndarray = field(default=None)
+    # structured-grid metadata (set by the box/interval builders): enables
+    # geometric-multigrid coarsening. {'dims': (...), 'lengths': (...),
+    # 'origin': (...)} or None for unstructured meshes.
+    structured: dict = field(default=None, compare=False)
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=np.float64)
@@ -153,7 +157,9 @@ def interval_mesh(n_cells: int, a: float = 0.0, b: float = 1.0) -> Mesh:
     """Uniform 1D mesh on [a, b]."""
     nodes = np.linspace(a, b, n_cells + 1)[:, None]
     cells = np.stack([np.arange(n_cells), np.arange(1, n_cells + 1)], axis=1)
-    return Mesh("interval", nodes, cells)
+    m = Mesh("interval", nodes, cells)
+    m.structured = {"dims": (n_cells,), "lengths": (b - a,), "origin": (a,)}
+    return m
 
 
 def _graded_segment(a: float, b: float, h0: float, h1: float) -> np.ndarray:
@@ -222,7 +228,9 @@ def box_mesh_2d(nx: int, ny: int, lx: float = 1.0, ly: float = 1.0,
             quads.append([nid(i, j), nid(i + 1, j), nid(i, j + 1), nid(i + 1, j + 1)])
     quads = np.asarray(quads, dtype=np.int32)
     if cell_type == "quad":
-        return Mesh("quad", nodes, quads)
+        m = Mesh("quad", nodes, quads)
+        m.structured = {"dims": (nx, ny), "lengths": (lx, ly), "origin": (ox, oy)}
+        return m
     if cell_type == "triangle":
         tris = []
         for q in quads:
@@ -258,7 +266,10 @@ def box_mesh_3d(nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0,
                 ])
     hexes = np.asarray(hexes, dtype=np.int32)
     if cell_type == "hex":
-        return Mesh("hex", nodes, hexes)
+        m = Mesh("hex", nodes, hexes)
+        m.structured = {"dims": (nx, ny, nz), "lengths": (lx, ly, lz),
+                        "origin": (ox, oy, oz)}
+        return m
     if cell_type == "tet":
         # 6-tet (Kuhn) subdivision of each hex, consistent across faces
         tets = []

@@ -157,6 +157,28 @@ class ThermoViscoProblem:
             self.fs_T, self.params, self.dt, dtype=self.dtype,
             bc_dofs=bc_dofs, bc_value=bc_val,
         )
+        self._mg = None
+        if sc.preconditioner == "mg":
+            if (self.mesh.structured is None or self.fs_T.family != "CG"
+                    or self.fs_T.degree != 1):
+                raise ValueError(
+                    "preconditioner='mg' needs a structured box mesh with a "
+                    "CG-1 temperature space; use 'jacobi' otherwise")
+            from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+            from fem_glass_tempering_tpu.solver.multigrid import GeometricMG
+
+            def make_operator(level_mesh):
+                fs = FunctionSpace(level_mesh, "CG", 1)
+                bd = fs.boundary_scalar_dofs() if dirichlet_bc else None
+                return HeatOperator(fs, self.params, self.dt,
+                                    dtype=self.dtype, bc_dofs=bd,
+                                    bc_value=bc_val)
+
+            self._mg = GeometricMG(self.mesh, make_operator, dtype=self.dtype)
+            import jax.numpy as _jnp
+            self._mg.freeze_omegas(
+                _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
+                          dtype=self.dtype), self.dt)
         self.state = self.engine.init_state()
         self._build_step()
         if output_dir is not None:
@@ -222,12 +244,19 @@ class ThermoViscoProblem:
         heat, engine, sc = self.heat, self.engine, self.config.solver
         default_dt = self.dt
 
+        mg = self._mg
+
         def step(state: ViscoState, dt):
+            precond_fn = None
+            if mg is not None:
+                precond_fn = lambda T: mg.preconditioner(
+                    mg.linearization_states(T), dt)
             res = newton_solve(
                 lambda T: heat.residual(T, state.T, dt),
                 state.T,
                 jac_diag_fn=(lambda T: heat.jacobian_diag(T, dt))
                 if sc.preconditioner == "jacobi" else None,
+                precond_fn=precond_fn,
                 rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
                 cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
             )

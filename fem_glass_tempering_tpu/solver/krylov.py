@@ -29,10 +29,13 @@ class PCGResult(NamedTuple):
 def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
         diag: jnp.ndarray | None = None, rtol: float = 1e-12,
         atol: float = 0.0, max_it: int = 1000,
-        dot: Callable | None = None) -> PCGResult:
+        dot: Callable | None = None,
+        precond: Callable | None = None) -> PCGResult:
     """`dot` overrides the inner product — inside shard_map regions pass a
     psum-reduced dot so convergence tests are global (the PETSc/MPI
-    reduction pattern, SURVEY.md §5 item 2)."""
+    reduction pattern, SURVEY.md §5 item 2). `precond` is a general SPD
+    preconditioner apply r -> M^{-1} r (e.g. a multigrid V-cycle,
+    solver/multigrid.py) and takes precedence over `diag` (Jacobi)."""
     if dot is None:
         dot = jnp.vdot
 
@@ -43,6 +46,8 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
     inv_diag = None if diag is None else 1.0 / diag
 
     def apply_M(r):
+        if precond is not None:
+            return precond(r)
         return r if inv_diag is None else inv_diag * r
 
     r = b - matvec(x)

@@ -1,0 +1,267 @@
+"""Geometric multigrid preconditioner for structured box meshes (CG-1).
+
+The matrix-free replacement for PETSc's GAMG (the reference's PC,
+ThermoViscoProblem.py:344; SURVEY.md §2b 'plan ... geometric multigrid on
+structured plate meshes'): a V-cycle over a hierarchy of rediscretized
+HeatOperators on coarsened box meshes, damped-Jacobi smoothing with each
+level's exact diagonal, multilinear prolongation / scaled-transpose
+restriction via precomputed (child -> parents, weights) index tables. The
+whole cycle is trace-time-unrolled jnp, so it sits inside the Newton/CG
+while_loops like any other matvec.
+
+Anisotropic plates (the 3D float-glass north-star has ~25:1 cell aspect)
+are exactly where Jacobi-CG degenerates; MG keeps iteration counts flat.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import (
+    Mesh,
+    box_mesh_2d,
+    box_mesh_3d,
+    interval_mesh,
+)
+
+
+def _next_dims(dims, lengths):
+    """Semi-coarsening toward isotropy: halve the axes whose cell size is
+    strictly finer than the coarsest axis (point smoothers only damp error
+    along strongly coupled = small-h directions, so those must coarsen
+    first — the classic anisotropic-MG rule); when the grid is isotropic,
+    halve every halvable axis. Returns None when nothing can coarsen."""
+    h = [ln / d for ln, d in zip(lengths, dims)]
+    halvable = [i for i, d in enumerate(dims) if d % 2 == 0 and d >= 2]
+    if not halvable:
+        return None
+    hmax = max(h)
+    strong = [i for i in halvable if h[i] < hmax / 1.9]
+    axes = strong if strong else halvable
+    out = list(dims)
+    for i in axes:
+        out[i] //= 2
+    return tuple(out)
+
+
+def _build_level_mesh(structured: dict, dims) -> Mesh:
+    o, ln = structured["origin"], structured["lengths"]
+    if len(dims) == 1:
+        return interval_mesh(dims[0], o[0], o[0] + ln[0])
+    if len(dims) == 2:
+        return box_mesh_2d(dims[0], dims[1], ln[0], ln[1], origin=o)
+    return box_mesh_3d(dims[0], dims[1], dims[2], ln[0], ln[1], ln[2], origin=o)
+
+
+def _node_index(dims):
+    """Lexicographic node id function matching the builders' ordering."""
+    if len(dims) == 1:
+        return lambda i: i[0]
+    if len(dims) == 2:
+        ny = dims[1]
+        return lambda i: i[0] * (ny + 1) + i[1]
+    ny, nz = dims[1], dims[2]
+    return lambda i: (i[0] * (ny + 1) + i[1]) * (nz + 1) + i[2]
+
+
+def _transfer_tables(fine_dims, coarse_dims):
+    """(n_fine_nodes, 2^d) parent coarse-node indices + weights for
+    multilinear prolongation, supporting per-axis semi-coarsening: a
+    non-coarsened axis maps identically; a halved axis interpolates odd
+    nodes between floor and ceil parents."""
+    d = len(fine_dims)
+    cidx = _node_index(coarse_dims)
+    fidx = _node_index(fine_dims)
+    shape = tuple(n + 1 for n in fine_dims)
+    n_fine = int(np.prod(shape))
+    n_par = 2 ** d
+    parents = np.zeros((n_fine, n_par), dtype=np.int32)
+    weights = np.zeros((n_fine, n_par))
+    coarsened = [fine_dims[a] != coarse_dims[a] for a in range(d)]
+    for multi in np.ndindex(*shape):
+        fi = fidx(multi)
+        combos = [(1.0, ())]
+        for ax in range(d):
+            v = multi[ax]
+            new = []
+            if not coarsened[ax]:
+                for w, tup in combos:
+                    new.append((w, tup + (v,)))
+            elif v % 2 == 0:
+                for w, tup in combos:
+                    new.append((w, tup + (v // 2,)))
+            else:
+                for w, tup in combos:
+                    new.append((0.5 * w, tup + (v // 2,)))
+                    new.append((0.5 * w, tup + (v // 2 + 1,)))
+            combos = new
+        for j, (w, tup) in enumerate(combos):
+            parents[fi, j] = cidx(tup)
+            weights[fi, j] = w
+        # remaining slots keep weight 0 (parent 0)
+    return parents, weights
+
+
+@dataclass
+class MGLevel:
+    op: object                    # HeatOperator at this level
+    parents: np.ndarray | None    # transfer to the NEXT (coarser) level
+    weights: np.ndarray | None
+    n_coarse: int | None
+
+
+class GeometricMG:
+    """V-cycle preconditioner factory.
+
+    Usage:
+        mg = GeometricMG(mesh, make_operator)   # make_operator(mesh) -> HeatOperator
+        precond = mg.preconditioner(T_fine, dt) # callable r -> ~A^{-1} r
+    """
+
+    def __init__(self, mesh: Mesh, make_operator, *, nu_pre: int = 2,
+                 nu_post: int = 2, omega: float = 0.67,
+                 coarse_iters: int = 24, min_level_nodes: int = 27,
+                 dtype=jnp.float64):
+        if mesh.structured is None:
+            raise ValueError("geometric MG needs a structured box mesh")
+        self.nu_pre, self.nu_post = nu_pre, nu_post
+        self.omega = omega
+        self.coarse_iters = coarse_iters
+        self.dtype = dtype
+        self.levels: list[MGLevel] = []
+        dims = tuple(mesh.structured["dims"])
+        lengths = tuple(mesh.structured["lengths"])
+        meta = mesh.structured
+        cur_mesh = mesh
+        while True:
+            op = make_operator(cur_mesh)
+            cdims = _next_dims(dims, lengths)
+            if cdims is not None and int(np.prod(
+                    tuple(d + 1 for d in cdims))) >= min_level_nodes:
+                parents, weights = _transfer_tables(dims, cdims)
+                n_coarse = int(np.prod(tuple(d + 1 for d in cdims)))
+                self.levels.append(MGLevel(
+                    op=op, parents=jnp.asarray(parents),
+                    weights=jnp.asarray(weights, dtype=dtype),
+                    n_coarse=n_coarse))
+                dims = cdims
+                cur_mesh = _build_level_mesh(meta, dims)
+            else:
+                self.levels.append(MGLevel(op=op, parents=None, weights=None,
+                                           n_coarse=None))
+                break
+
+    # ------------------------------------------------------------------
+    def _prolong(self, lvl: MGLevel, xc):
+        return jnp.einsum("np,np->n", lvl.weights, xc[lvl.parents])
+
+    def _restrict(self, lvl: MGLevel, rf):
+        # scaled transpose of prolongation (full weighting up to a constant;
+        # the constant is absorbed by the smoother since MG is a
+        # preconditioner, but we keep P^T exactly for symmetry of M)
+        contrib = lvl.weights * rf[:, None]
+        return jax.ops.segment_sum(
+            contrib.reshape(-1), lvl.parents.reshape(-1),
+            num_segments=lvl.n_coarse)
+
+    def preconditioner(self, T_levels, dt):
+        """Build the V-cycle apply for the Jacobian frozen at T (fine).
+        T_levels: list of per-level linearization states (from
+        `linearization_states`)."""
+        levels = self.levels
+
+        matvecs = []
+        diags = []
+        omegas = []
+        frozen = getattr(self, "_frozen_omegas", None)
+        for i, (lvl, T) in enumerate(zip(levels, T_levels)):
+            op = lvl.op
+            f = (lambda op, T: lambda v: jax.jvp(
+                lambda u: op.residual(u, T, dt), (T,), (v,))[1])(op, T)
+            matvecs.append(f)
+            d = lvl.op.jacobian_diag(T, dt)
+            diags.append(d)
+            if frozen is not None:
+                omegas.append(frozen[i])
+                continue
+            # spectral radius of D^{-1}A by power iteration: consistent-mass
+            # FEM operators on anisotropic grids push lambda_max(D^{-1}A)
+            # well past 2, where a fixed-omega Jacobi smoother diverges.
+            # omega = 4/(3 rho) is the optimal damped-Jacobi smoother for a
+            # spectrum in (0, rho] (the GAMG/Chebyshev convention).
+            v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
+            rho = jnp.asarray(1.0, T.dtype)
+            for _ in range(10):
+                w = f(v) / d
+                rho = jnp.linalg.norm(w) / jnp.linalg.norm(v)
+                v = w / jnp.linalg.norm(w)
+            omegas.append(4.0 / (3.0 * rho * 1.05))
+
+        def smooth(i, x, b, nu):
+            for _ in range(nu):
+                x = x + omegas[i] * (b - matvecs[i](x)) / diags[i]
+            return x
+
+        def cycle(i, b):
+            if levels[i].parents is None:
+                # coarsest: fixed damped-Jacobi iteration
+                x = jnp.zeros_like(b)
+                return smooth(i, x, b, self.coarse_iters)
+            x = smooth(i, jnp.zeros_like(b), b, self.nu_pre)
+            r = b - matvecs[i](x)
+            rc = self._restrict(levels[i], r)
+            xc = cycle(i + 1, rc)
+            x = x + self._prolong(levels[i], xc)
+            x = smooth(i, x, b, self.nu_post)
+            return x
+
+        return lambda r: cycle(0, r)
+
+    def freeze_omegas(self, T_fine, dt) -> None:
+        """Estimate per-level smoother damping ONCE (eagerly, at setup) and
+        bake the values as static constants — rho(D^{-1}A) barely moves with
+        T (only the small boundary linearization changes), and freezing
+        removes 10 matvecs per level from every Newton iteration's trace."""
+        states = self.linearization_states(jnp.asarray(T_fine))
+        vals = []
+        for lvl, T in zip(self.levels, states):
+            op = lvl.op
+            f = lambda v: jax.jvp(lambda u: op.residual(u, T, dt), (T,), (v,))[1]
+            d = op.jacobian_diag(T, dt)
+            v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
+            rho = 1.0
+            for _ in range(12):
+                w = f(v) / d
+                rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
+                v = w / jnp.linalg.norm(w)
+            vals.append(4.0 / (3.0 * rho * 1.05))
+        self._frozen_omegas = vals
+
+    def linearization_states(self, T_fine):
+        """Per-level temperature states: injection (even-node sampling) of
+        the fine solution, for freezing the radiation linearization."""
+        states = [T_fine]
+        cur = T_fine
+        for lvl in self.levels[:-1]:
+            # injection: coarse node value = fine value at the coincident node
+            # (parents with weight 1 are exactly the even-index fine nodes)
+            # build once: fine index of each coarse node
+            cur = self._inject(lvl, cur)
+            states.append(cur)
+        return states
+
+    def _inject(self, lvl: MGLevel, xf):
+        if not hasattr(lvl, "_inj"):
+            w = np.asarray(lvl.weights)
+            par = np.asarray(lvl.parents)
+            inj = np.zeros(lvl.n_coarse, dtype=np.int64)
+            mask = w >= 0.999
+            fine_ids, slot = np.nonzero(mask)
+            inj[par[fine_ids, slot]] = fine_ids
+            lvl._inj = jnp.asarray(inj)
+        return xf[lvl._inj]

@@ -31,10 +31,13 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  rtol: float = 1e-12, atol: float = 1e-10, max_it: int = 50,
                  cg_rtol: float = 1e-12, cg_atol: float = 0.0,
                  cg_max_it: int = 1000,
-                 dot: Callable | None = None) -> NewtonResult:
+                 dot: Callable | None = None,
+                 precond_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
-    `dot` overrides the inner product for distributed (shard_map) use."""
+    `dot` overrides the inner product for distributed (shard_map) use.
+    `precond_fn(x)` builds a general preconditioner apply at the current
+    iterate (takes precedence over jac_diag_fn)."""
     if dot is None:
         dot = jnp.vdot
 
@@ -53,8 +56,9 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
             return jax.jvp(residual_fn, (x,), (v,))[1]
 
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
+        precond = precond_fn(x) if precond_fn is not None else None
         lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                  max_it=cg_max_it, dot=dot)
+                  max_it=cg_max_it, dot=dot, precond=precond)
         x_new = x + lin.x
         dxn = norm(lin.x)
         conv = dxn <= rtol * norm(x_new) + atol

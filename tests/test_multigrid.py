@@ -1,0 +1,84 @@
+"""Geometric multigrid preconditioner tests: correctness (same solution as
+Jacobi) and effectiveness (far fewer CG iterations on the anisotropic
+plate, where Jacobi-CG degenerates)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from fem_glass_tempering_tpu.config import (
+    FEConfig,
+    OutputConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from fem_glass_tempering_tpu.fem.mesh import box_mesh_2d, box_mesh_3d, interval_mesh
+from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+from fem_glass_tempering_tpu.solver.multigrid import _transfer_tables
+
+
+def test_transfer_tables_partition_of_unity():
+    parents, weights = _transfer_tables((8, 6), (4, 3))
+    np.testing.assert_allclose(weights.sum(axis=1), 1.0)
+    # even-index nodes map to exactly one parent with weight 1
+    n1 = (weights >= 0.999).sum()
+    assert n1 == 5 * 4  # coarse node count
+
+
+def test_transfer_prolong_exact_for_linear():
+    """Multilinear prolongation reproduces linear fields exactly."""
+    import jax.numpy as jnp
+
+    fdims, cdims = (8, 4, 4), (4, 2, 2)
+    parents, weights = _transfer_tables(fdims, cdims)
+    fm = box_mesh_3d(*fdims)
+    cm = box_mesh_3d(*cdims)
+    a = np.array([1.0, -2.0, 0.5])
+    xc = cm.nodes @ a
+    xf_expect = fm.nodes @ a
+    xf = np.einsum("np,np->n", weights, xc[parents])
+    np.testing.assert_allclose(xf, xf_expect, atol=1e-12)
+
+
+def _solve(mesh, precond, n_steps=1):
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        time=TimeConfig(0.0, n_steps * 0.1, 0.1),
+        solver=SolverConfig(preconditioner=precond),
+        output=OutputConfig(write_every=0, formats=()),
+    )
+    prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+    prob.setup()
+    st = prob.solve()
+    return np.asarray(st.T), prob.diagnostics.krylov_iters
+
+
+def test_mg_matches_jacobi_solution_3d():
+    mesh_fn = lambda: box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    T_j, it_j = _solve(mesh_fn(), "jacobi")
+    T_m, it_m = _solve(mesh_fn(), "mg")
+    np.testing.assert_allclose(T_m, T_j, rtol=1e-9, atol=1e-7)
+    # the anisotropic plate is exactly where Jacobi degenerates
+    assert it_m < it_j / 3, (it_m, it_j)
+
+
+def test_mg_matches_jacobi_2d():
+    mesh_fn = lambda: box_mesh_2d(16, 8, 1.0, 0.05)
+    T_j, it_j = _solve(mesh_fn(), "jacobi")
+    T_m, it_m = _solve(mesh_fn(), "mg")
+    np.testing.assert_allclose(T_m, T_j, rtol=1e-9, atol=1e-7)
+    assert it_m < it_j, (it_m, it_j)
+
+
+def test_mg_rejects_unstructured():
+    from fem_glass_tempering_tpu.fem.mesh import reference_glass_mesh_1d
+
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        solver=SolverConfig(preconditioner="mg"),
+    )
+    prob = ThermoViscoProblem(mesh=reference_glass_mesh_1d(), config=cfg)
+    with pytest.raises(ValueError, match="structured"):
+        prob.setup()
