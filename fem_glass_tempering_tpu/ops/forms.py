@@ -1,0 +1,114 @@
+"""Generic scalar weak forms: the UFL-replacement surface.
+
+The reference expresses its PDE in UFL and lets FFCx generate kernels
+(SURVEY.md §2b). Here a weak form is three plain-JAX callables in
+*residual form* — for trial/test functions u, v:
+
+  F(u; v) = ∫_cells [ a(u, ∇u, x) · v + b(u, ∇u, x) · ∇v ] dx
+          + ∫_boundary c(u, x, n) · v ds
+
+with a: scalars -> scalar, b: -> (gdim,) vector, c: -> scalar, all written
+as vectorized jnp functions of quadrature-point arrays. That decomposition
+covers every scalar 2nd-order PDE weak form (diffusion, advection,
+reaction, Robin/flux boundaries); the Jacobian comes from jax.jvp like
+everything else — UFL's automatic differentiation becomes JAX AD.
+
+`ScalarResidualForm.residual` plugs directly into solver.newton_solve, so a
+user can solve e.g. nonlinear reaction-diffusion in ~10 lines (see
+tests/test_forms.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.ops.assembly import (
+    build_boundary_geometry,
+    build_cell_geometry,
+)
+
+
+class ScalarResidualForm:
+    """Assembled residual of a generic scalar weak form on a CG/DG space.
+
+    Arguments are vectorized over quadrature points:
+      cell_source  a(u, grad_u, x) -> (...,)          [multiplies v]
+      cell_flux    b(u, grad_u, x) -> (..., gdim)     [dotted with grad v]
+      boundary_flux c(u, x, n) -> (...,)              [multiplies v on ds]
+    Each may be None. Extra per-call parameters can be closed over or passed
+    via `params` (a pytree forwarded to every callable as keyword `p`).
+    """
+
+    def __init__(self, fs: FunctionSpace,
+                 cell_source: Callable | None = None,
+                 cell_flux: Callable | None = None,
+                 boundary_flux: Callable | None = None,
+                 quad_degree: int | None = None,
+                 dtype=jnp.float64,
+                 bc_dofs: np.ndarray | None = None,
+                 bc_values: np.ndarray | float | None = None):
+        self.fs = fs
+        self.cell_source = cell_source
+        self.cell_flux = cell_flux
+        self.boundary_flux = boundary_flux
+        self.n_dofs = fs.n_scalar_dofs
+        cg = build_cell_geometry(fs.mesh, fs, quad_degree)
+        bg = build_boundary_geometry(fs.mesh, fs, quad_degree)
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.dofmap = i(fs.dofmap)
+        self.qw = f(cg.qweights)
+        self.phi = f(cg.phi)
+        self.gphi = f(cg.grad_phys)
+        self.xq = f(cg.qpoints_phys)
+        self.b_dofmap = i(fs.dofmap[bg.cell])
+        self.b_qw = f(bg.qweights)
+        self.b_phi = f(bg.phi)
+        self.b_xq = f(bg.qpoints_phys)
+        self.b_n = f(bg.normal)
+        mask = np.zeros(self.n_dofs, dtype=bool)
+        vals = np.zeros(self.n_dofs)
+        if bc_dofs is not None and len(bc_dofs):
+            mask[np.asarray(bc_dofs)] = True
+            vals[np.asarray(bc_dofs)] = bc_values if bc_values is not None else 0.0
+        self.bc_mask = jnp.asarray(mask)
+        self.has_bc = bool(mask.any())
+        self.bc_values = f(vals)
+
+    def _scatter(self, vals, dofmap):
+        return jax.ops.segment_sum(vals.reshape(-1), dofmap.reshape(-1),
+                                   num_segments=self.n_dofs)
+
+    def _base_residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:
+        uc = u[self.dofmap]                                # (c, l)
+        uq = uc @ self.phi.T                               # (c, q)
+        guq = jnp.einsum("cl,cqlg->cqg", uc, self.gphi)    # (c, q, g)
+        r = jnp.zeros(self.n_dofs, dtype=u.dtype)
+        r_cell = None
+        if self.cell_source is not None:
+            a = self.cell_source(uq, guq, self.xq, **params)
+            r_cell = jnp.einsum("cq,ql->cl", self.qw * a, self.phi)
+        if self.cell_flux is not None:
+            b = self.cell_flux(uq, guq, self.xq, **params)
+            term = jnp.einsum("cqg,cqlg->cl", self.qw[..., None] * b, self.gphi)
+            r_cell = term if r_cell is None else r_cell + term
+        if r_cell is not None:
+            r = r + self._scatter(r_cell, self.dofmap)
+        if self.boundary_flux is not None and self.b_dofmap.shape[0]:
+            ub = jnp.einsum("fql,fl->fq", self.b_phi, u[self.b_dofmap])
+            c = self.boundary_flux(ub, self.b_xq, self.b_n, **params)
+            r_b = jnp.einsum("fq,fql->fl", self.b_qw * c, self.b_phi)
+            r = r + self._scatter(r_b, self.b_dofmap)
+        return r
+
+    def residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:
+        if not self.has_bc:
+            return self._base_residual(u, **params)
+        u_eff = jnp.where(self.bc_mask, self.bc_values, u)
+        r = self._base_residual(u_eff, **params)
+        return jnp.where(self.bc_mask, u - self.bc_values, r)
