@@ -49,7 +49,9 @@ class CrossEval:
         if self.same_space(name):
             return dofs
         src_vals = dofs[self._src_cells[name]]     # (n_t, nloc_s, *v)
-        tab = self._tab[name]                      # (n_t, nloc_s)
+        # cast the (f64-built) tabulation to the field dtype so f32 perf
+        # mode stays f32 end to end (cast folds at compile time)
+        tab = self._tab[name].astype(dofs.dtype)   # (n_t, nloc_s)
         return jnp.einsum("tl,tl...->t...", tab, src_vals)
 
 
