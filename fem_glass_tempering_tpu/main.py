@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard over all visible devices (replaces mpiexec -np N)")
     p.add_argument("--write-mesh", help="write the mesh as gmsh 4.1 and exit")
     p.add_argument("--progress", action="store_true")
+    p.add_argument("--profile-dir",
+                   help="capture a jax.profiler device trace into this dir")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="hand-fused Pallas kernels for the material chain")
     return p
 
 
@@ -101,6 +105,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, physics_mode=args.physics_mode)
     if args.dtype:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
+    if args.use_pallas:
+        cfg = dataclasses.replace(cfg, use_pallas=True)
 
     if args.mesh:
         mesh = read_msh(args.mesh)
@@ -132,7 +138,12 @@ def main(argv=None) -> int:
         )
         shard_problem(prob, make_device_mesh(jax.devices()))
 
-    prob.solve(progress=args.progress)
+    if args.profile_dir:
+        from fem_glass_tempering_tpu.utils.profiling import device_trace
+        with device_trace(args.profile_dir):
+            prob.solve(progress=args.progress)
+    else:
+        prob.solve(progress=args.progress)
     d = prob.diagnostics
     print(json.dumps({
         "elapsed_seconds": prob.elapsed_seconds,
