@@ -23,9 +23,6 @@ device of its owner cell, whose T dofs are local by construction.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
