@@ -37,12 +37,17 @@ def run_backend() -> float:
 
     prob = _build_problem(NX, NY, NZ, "float32",
                           newton_rtol=1e-5, cg_rtol=1e-5)
-    # warmup + compile: same static step count as the timed run
+    # warmup + compile: same program, run on the REAL initial transient
     state, ok, _, _ = prob._multi_step_jit(prob.state, TIMED_STEPS)
     jax.block_until_ready(state)
     assert bool(ok), "Newton failed in warmup"
+    # timed run: a FRESH initial state so the measured window contains the
+    # full nonlinear transient (late steps near thermal equilibrium are
+    # trivial — Newton converges with no CG work — and would flatter the
+    # number); program identical -> compile cache hit
+    state0 = prob.engine.init_state()
     t0 = time.perf_counter()
-    state, ok, ni, ki = prob._multi_step_jit(state, TIMED_STEPS)
+    state, ok, ni, ki = prob._multi_step_jit(state0, TIMED_STEPS)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
     assert bool(ok), "Newton failed in timed run"

@@ -100,7 +100,10 @@ class SolverConfig:
     cg_rtol: float = 1e-12
     cg_atol: float = 0.0
     cg_max_it: int = 1000
-    preconditioner: str = "jacobi"  # 'jacobi' | 'none'
+    preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
+    # 'matrix_free' = jvp-of-residual matvec (reassembles each CG iter);
+    # 'assembled' = pre-assembled HBM-resident ELL SpMV (ops/spmv.py)
+    linear_operator: str = "matrix_free"
     # failure handling (the reference just aborts via assert,
     # ThermoViscoProblem.py:390): 'raise' | 'halve_dt' (retry the failed
     # chunk at dt/2 — same compiled program, dt is a traced scalar)

@@ -245,18 +245,27 @@ class ThermoViscoProblem:
         default_dt = self.dt
 
         mg = self._mg
+        ell = None
+        if sc.linear_operator == "assembled":
+            from fem_glass_tempering_tpu.ops.spmv import EllMatrix
+            ell = EllMatrix(heat)
+        self._ell = ell
 
         def step(state: ViscoState, dt):
             precond_fn = None
             if mg is not None:
                 precond_fn = lambda T: mg.preconditioner(
                     mg.linearization_states(T), dt)
+            matvec_fn = None
+            if ell is not None:
+                matvec_fn = lambda T: ell.make_matvec(T, dt)
             res = newton_solve(
                 lambda T: heat.residual(T, state.T, dt),
                 state.T,
                 jac_diag_fn=(lambda T: heat.jacobian_diag(T, dt))
                 if sc.preconditioner == "jacobi" else None,
                 precond_fn=precond_fn,
+                matvec_fn=matvec_fn,
                 rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
                 cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
             )

@@ -32,12 +32,15 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  cg_rtol: float = 1e-12, cg_atol: float = 0.0,
                  cg_max_it: int = 1000,
                  dot: Callable | None = None,
-                 precond_fn: Callable | None = None) -> NewtonResult:
+                 precond_fn: Callable | None = None,
+                 matvec_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
     `dot` overrides the inner product for distributed (shard_map) use.
     `precond_fn(x)` builds a general preconditioner apply at the current
-    iterate (takes precedence over jac_diag_fn)."""
+    iterate (takes precedence over jac_diag_fn). `matvec_fn(x)` builds the
+    Jacobian action at the current iterate (e.g. an assembled ELL SpMV,
+    ops/spmv.py) instead of the default jax.jvp of the residual."""
     if dot is None:
         dot = jnp.vdot
 
@@ -52,8 +55,11 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
         x, k, converged, _, cg_total = state
         F = residual_fn(x)
 
-        def matvec(v):
-            return jax.jvp(residual_fn, (x,), (v,))[1]
+        if matvec_fn is not None:
+            matvec = matvec_fn(x)
+        else:
+            def matvec(v):
+                return jax.jvp(residual_fn, (x,), (v,))[1]
 
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
         precond = precond_fn(x) if precond_fn is not None else None

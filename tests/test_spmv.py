@@ -1,0 +1,86 @@
+"""Assembled-ELL Jacobian SpMV vs matrix-free jvp matvec equivalence."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_glass_tempering_tpu.config import (
+    FEConfig,
+    ModelParams,
+    OutputConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import (
+    box_mesh_2d,
+    box_mesh_3d,
+    reference_glass_mesh_1d,
+)
+from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.ops.spmv import EllMatrix
+
+
+@pytest.mark.parametrize("mesher,fam,deg", [
+    (lambda: reference_glass_mesh_1d(), "DG", 1),
+    (lambda: box_mesh_2d(5, 4), "CG", 1),
+    (lambda: box_mesh_2d(4, 3, cell_type="triangle"), "CG", 2),
+    (lambda: box_mesh_3d(3, 3, 2), "CG", 1),
+    (lambda: box_mesh_2d(4, 4), "DG", 1),
+])
+def test_spmv_matches_jvp(mesher, fam, deg):
+    mesh = mesher()
+    fs = FunctionSpace(mesh, fam, deg)
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1)
+    ell = EllMatrix(op)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    jv = jax.jvp(lambda u: op.residual(u, T_prev, 0.1), (T,), (v,))[1]
+    sv = ell.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_spmv_with_dirichlet():
+    mesh = box_mesh_2d(4, 4)
+    fs = FunctionSpace(mesh, "CG", 1)
+    bd = fs.boundary_scalar_dofs()
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1, bc_dofs=bd, bc_value=600.0)
+    ell = EllMatrix(op)
+    rng = np.random.default_rng(1)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    jv = jax.jvp(lambda u: op.residual(u, T_prev, 0.1), (T,), (v,))[1]
+    sv = ell.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_assembled_solve_matches_matrix_free():
+    """Full coupled run with linear_operator='assembled' reproduces the
+    matrix-free solution."""
+    mesh = reference_glass_mesh_1d()
+    sols = {}
+    for lo in ("matrix_free", "assembled"):
+        cfg = RunConfig(
+            fe=FEConfig(),
+            time=TimeConfig(0.0, 1.0, 0.1),
+            solver=SolverConfig(linear_operator=lo),
+            output=OutputConfig(write_every=0, formats=()),
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        sols[lo] = np.asarray(st.T)
+    np.testing.assert_allclose(sols["assembled"], sols["matrix_free"],
+                               rtol=1e-11)
