@@ -249,6 +249,9 @@ class ThermoViscoProblem:
         if sc.linear_operator == "assembled":
             from fem_glass_tempering_tpu.ops.spmv import EllMatrix
             ell = EllMatrix(heat)
+        elif sc.linear_operator == "stencil":
+            from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
+            ell = StencilMatrix(heat)
         self._ell = ell
 
         def step(state: ViscoState, dt):

@@ -84,3 +84,44 @@ def test_assembled_solve_matches_matrix_free():
         sols[lo] = np.asarray(st.T)
     np.testing.assert_allclose(sols["assembled"], sols["matrix_free"],
                                rtol=1e-11)
+
+
+@pytest.mark.parametrize("mesher", [
+    lambda: __import__("fem_glass_tempering_tpu.fem.mesh", fromlist=["interval_mesh"]).interval_mesh(16),
+    lambda: box_mesh_2d(6, 4, 2.0, 1.0),
+    lambda: box_mesh_3d(4, 4, 3, 1.0, 1.0, 0.01),
+])
+def test_stencil_matches_jvp(mesher):
+    from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
+
+    mesh = mesher()
+    fs = FunctionSpace(mesh, "CG", 1)
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1)
+    st = StencilMatrix(op)
+    rng = np.random.default_rng(2)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    jv = jax.jvp(lambda u: op.residual(u, T_prev, 0.1), (T,), (v,))[1]
+    sv = st.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_stencil_solve_matches_matrix_free():
+    mesh = box_mesh_3d(4, 4, 2)
+    sols = {}
+    for lo in ("matrix_free", "stencil"):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="CG", T_degree=1),
+            time=TimeConfig(0.0, 0.3, 0.1),
+            solver=SolverConfig(linear_operator=lo),
+            output=OutputConfig(write_every=0, formats=()),
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        sols[lo] = np.asarray(st.T)
+    np.testing.assert_allclose(sols["stencil"], sols["matrix_free"],
+                               rtol=1e-11)
