@@ -23,8 +23,10 @@ import time
 
 # plate discretization + step count (keep total bench under a few minutes —
 # compilation through the TPU tunnel is the dominant cost, so exactly ONE
-# program is compiled: multi_step with a single static step count)
-NX, NY, NZ = 32, 32, 8           # 8192 hex cells, 9801 CG-1 dofs
+# program is compiled: multi_step with a single static step count).
+# 64x64x16 puts the stencil working set (~8 MB/level) past CPU cache, i.e.
+# production-scale memory behavior rather than a cache-resident toy.
+NX, NY, NZ = 64, 64, 16          # 65536 hex cells, 274625 CG-1 dofs
 TIMED_STEPS = 20
 
 
@@ -36,7 +38,8 @@ def run_backend() -> float:
     from __graft_entry__ import _build_problem
 
     prob = _build_problem(NX, NY, NZ, "float32",
-                          newton_rtol=1e-5, cg_rtol=1e-5)
+                          newton_rtol=1e-5, cg_rtol=1e-5,
+                          linear_operator="stencil")
     # warmup + compile: same program, run on the REAL initial transient
     state, ok, _, _ = prob._multi_step_jit(prob.state, TIMED_STEPS)
     jax.block_until_ready(state)
