@@ -126,12 +126,15 @@ class GeometricMG:
     def __init__(self, mesh: Mesh, make_operator, *, nu_pre: int = 2,
                  nu_post: int = 2, omega: float = 0.67,
                  coarse_iters: int = 24, min_level_nodes: int = 27,
-                 dtype=jnp.float64):
+                 use_stencil: bool = True, dtype=jnp.float64):
         if mesh.structured is None:
             raise ValueError("geometric MG needs a structured box mesh")
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_iters = coarse_iters
+        # per-level stencil matvecs (gather-free, the TPU-fast path); falls
+        # back to jvp-of-residual when the level operator can't stencil
+        self.use_stencil = use_stencil
         self.dtype = dtype
         self.levels: list[MGLevel] = []
         dims = tuple(mesh.structured["dims"])
@@ -181,8 +184,12 @@ class GeometricMG:
         frozen = getattr(self, "_frozen_omegas", None)
         for i, (lvl, T) in enumerate(zip(levels, T_levels)):
             op = lvl.op
-            f = (lambda op, T: lambda v: jax.jvp(
-                lambda u: op.residual(u, T, dt), (T,), (v,))[1])(op, T)
+            st = self._stencil_for(lvl)
+            if st is not None:
+                f = st.make_matvec(T, dt)
+            else:
+                f = (lambda op, T: lambda v: jax.jvp(
+                    lambda u: op.residual(u, T, dt), (T,), (v,))[1])(op, T)
             matvecs.append(f)
             d = lvl.op.jacobian_diag(T, dt)
             diags.append(d)
@@ -221,6 +228,18 @@ class GeometricMG:
             return x
 
         return lambda r: cycle(0, r)
+
+    def _stencil_for(self, lvl: MGLevel):
+        """Cached per-level StencilMatrix (None if not applicable)."""
+        if not self.use_stencil:
+            return None
+        if not hasattr(lvl, "_stencil"):
+            try:
+                from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
+                lvl._stencil = StencilMatrix(lvl.op)
+            except Exception:
+                lvl._stencil = None
+        return lvl._stencil
 
     def freeze_omegas(self, T_fine, dt) -> None:
         """Estimate per-level smoother damping ONCE (eagerly, at setup) and
