@@ -121,6 +121,10 @@ class OutputConfig:
     write_every: int = 1          # steps between field snapshots (0 = off)
     formats: tuple = ("npz",)     # subset of ('npz', 'vtu', 'xdmf')
     checkpoint_every: int = 0      # steps between checkpoints (0 = off)
+    # fields recorded by the npz series writer (any ViscoState field name;
+    # the reference could not write Tf_partial at all — VTXWriter lacks
+    # mixed-element support, ThermoViscoProblem.py:257-259)
+    npz_fields: tuple = ("T", "Tf", "phi", "xi", "sigma")
 
 
 @dataclass(frozen=True)
@@ -156,7 +160,7 @@ class RunConfig:
             solver=SolverConfig(**raw.get("solver", {})),
             output=OutputConfig(
                 **{
-                    k: tuple(v) if k == "formats" else v
+                    k: tuple(v) if k in ("formats", "npz_fields") else v
                     for k, v in raw.get("output", {}).items()
                 }
             ),

@@ -199,7 +199,8 @@ class ThermoViscoProblem:
         out = oc.output_dir
         if "npz" in oc.formats:
             from fem_glass_tempering_tpu.io.series import NPZSeriesWriter
-            self._writers.append(NPZSeriesWriter(f"{out}/series.npz"))
+            self._writers.append(
+                NPZSeriesWriter(f"{out}/series.npz", fields=oc.npz_fields))
         if "vtu" in oc.formats:
             from fem_glass_tempering_tpu.io.vtu import VTUSeriesWriter
             w = VTUSeriesWriter(out, "visco", self.mesh)

@@ -81,3 +81,45 @@ def test_direct_newton_matches_krylov():
     assert bool(conv_d) and bool(res_k.converged)
     np.testing.assert_allclose(np.asarray(x_d), np.asarray(res_k.x),
                                rtol=1e-10)
+
+
+def test_runconfig_json_roundtrip():
+    import dataclasses
+
+    from fem_glass_tempering_tpu.config import (
+        OutputConfig, RunConfig, SolverConfig,
+    )
+
+    cfg = RunConfig(
+        solver=SolverConfig(newton_rtol=1e-7, preconditioner="mg",
+                            linear_operator="stencil"),
+        output=OutputConfig(write_every=7, formats=("npz", "vtu"),
+                            npz_fields=("T", "Tf_partial")),
+        physics_mode="corrected", shift_function="eq25",
+        dtype="float32", use_pallas=True,
+    )
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_npz_fields_config(tmp_path):
+    import dataclasses
+
+    import numpy as np
+
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+
+    cfg = RunConfig(
+        fe=FEConfig(), time=TimeConfig(0.0, 0.3, 0.1),
+        output=OutputConfig(output_dir=str(tmp_path), write_every=1,
+                            formats=("npz",),
+                            npz_fields=("T", "Tf_partial", "sigma")))
+    prob = ThermoViscoProblem(config=cfg)
+    prob.setup()
+    prob.solve()
+    with np.load(tmp_path / "series.npz") as z:
+        # Tf_partial (6-vector) recorded — the reference's VTXWriter could not
+        assert z["Tf_partial"].shape[-1] == 6
