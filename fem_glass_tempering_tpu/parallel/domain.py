@@ -396,6 +396,52 @@ class DDProblem:
         from fem_glass_tempering_tpu.parallel.partition import gather_local_to_global
         return gather_local_to_global(self.layout, np.asarray(state.T))
 
+    def gather_state(self, state: ViscoState) -> ViscoState:
+        """Distributed state -> a global-layout ViscoState (host), so the
+        single-device writers and checkpointing (io/) work unchanged on DD
+        runs — the reference's 'gather for I/O' pattern (SURVEY.md §5
+        communication inventory item 4)."""
+        import jax.numpy as jnp
+
+        from fem_glass_tempering_tpu.parallel.partition import (
+            gather_local_to_global,
+        )
+
+        def g_T(arr):
+            arr = np.asarray(arr)
+            if arr.ndim == 2:       # (P, Ldofs)
+                return gather_local_to_global(self.layout, arr)
+            # (P, Ldofs, extra...): apply per trailing component
+            extra = arr.shape[2:]
+            flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+            cols = [gather_local_to_global(self.layout, flat[:, :, k])
+                    for k in range(flat.shape[-1])]
+            return np.stack(cols, axis=-1).reshape((-1,) + extra)
+
+        def g_S(arr):
+            arr = np.asarray(arr)
+            out = np.zeros((self.fs_sigma.n_scalar_dofs,) + arr.shape[2:],
+                           dtype=arr.dtype)
+            valid = self.sg_dof >= 0
+            out[self.sg_dof[valid]] = arr[valid]
+            return out
+
+        return ViscoState(
+            t=jnp.asarray(np.asarray(state.t)[0]),
+            T=jnp.asarray(g_T(state.T)), T_prev=jnp.asarray(g_T(state.T_prev)),
+            Tf=jnp.asarray(g_T(state.Tf)), Tf_prev=jnp.asarray(g_T(state.Tf_prev)),
+            Tf_partial=jnp.asarray(g_T(state.Tf_partial)),
+            phi=jnp.asarray(g_T(state.phi)), xi=jnp.asarray(g_T(state.xi)),
+            thermal_strain=jnp.asarray(g_S(state.thermal_strain)),
+            total_strain=jnp.asarray(g_S(state.total_strain)),
+            deviatoric_strain=jnp.asarray(g_S(state.deviatoric_strain)),
+            s_tilde=jnp.asarray(g_S(state.s_tilde)),
+            sigma_tilde=jnp.asarray(g_S(state.sigma_tilde)),
+            s_partial=jnp.asarray(g_S(state.s_partial)),
+            sigma_partial=jnp.asarray(g_S(state.sigma_partial)),
+            sigma=jnp.asarray(g_S(state.sigma)),
+        )
+
     def gather_sigma(self, state: ViscoState) -> np.ndarray:
         """Distributed sigma -> global (n_sigma_dofs, d, d)."""
         d = self.mesh.tdim

@@ -338,3 +338,44 @@ class CGDDProblem:
         valid = self.sg_dof >= 0
         out[self.sg_dof[valid]] = loc[valid]
         return out
+
+    def gather_state(self, state: ViscoState) -> ViscoState:
+        """Distributed state -> global-layout ViscoState (host) for the
+        shared writers/checkpointing (SURVEY.md §5 'gather for I/O')."""
+        import jax.numpy as jnp
+
+        own = np.asarray(self.arrs["own"])
+
+        def g_T(arr):
+            arr = np.asarray(arr)
+            extra = arr.shape[2:]
+            out = np.zeros((self.fs_T.n_scalar_dofs,) + extra, dtype=arr.dtype)
+            for p in range(self.n_parts):
+                gids = self.local_gids[p]
+                mask = own[p, : len(gids)] > 0
+                out[gids[mask]] = arr[p, : len(gids)][mask]
+            return out
+
+        def g_S(arr):
+            arr = np.asarray(arr)
+            out = np.zeros((self.fs_sigma.n_scalar_dofs,) + arr.shape[2:],
+                           dtype=arr.dtype)
+            valid = self.sg_dof >= 0
+            out[self.sg_dof[valid]] = arr[valid]
+            return out
+
+        return ViscoState(
+            t=jnp.asarray(np.asarray(state.t)[0]),
+            T=jnp.asarray(g_T(state.T)), T_prev=jnp.asarray(g_T(state.T_prev)),
+            Tf=jnp.asarray(g_T(state.Tf)), Tf_prev=jnp.asarray(g_T(state.Tf_prev)),
+            Tf_partial=jnp.asarray(g_T(state.Tf_partial)),
+            phi=jnp.asarray(g_T(state.phi)), xi=jnp.asarray(g_T(state.xi)),
+            thermal_strain=jnp.asarray(g_S(state.thermal_strain)),
+            total_strain=jnp.asarray(g_S(state.total_strain)),
+            deviatoric_strain=jnp.asarray(g_S(state.deviatoric_strain)),
+            s_tilde=jnp.asarray(g_S(state.s_tilde)),
+            sigma_tilde=jnp.asarray(g_S(state.sigma_tilde)),
+            s_partial=jnp.asarray(g_S(state.s_partial)),
+            sigma_partial=jnp.asarray(g_S(state.sigma_partial)),
+            sigma=jnp.asarray(g_S(state.sigma)),
+        )

@@ -66,3 +66,32 @@ def test_cgdd_shared_dofs_exist(devices):
             touch.setdefault(int(g), set()).add(int(part[c]))
     shared = sum(1 for s in touch.values() if len(s) > 1)
     assert shared >= 5
+
+
+def test_cgdd_gather_state_matches_single(devices):
+    """gather_state produces a global ViscoState usable by the shared
+    writers/checkpoint code, matching the single-device run."""
+    mesh = box_mesh_3d(4, 4, 2)
+    cfg = _cfg(3)
+    ref = ThermoViscoProblem(mesh=mesh, config=cfg)
+    ref.setup()
+    st_ref = ref.solve()
+    dd = CGDDProblem(mesh, cfg, n_parts=8, devices=devices)
+    st = dd.init_state()
+    for _ in range(3):
+        st, ok, *_ = dd.step(st)
+    g = dd.gather_state(st)
+    for f in ("T", "Tf", "Tf_partial", "xi", "sigma", "sigma_partial"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g, f)), np.asarray(getattr(st_ref, f)),
+            rtol=1e-9, atol=1e-11, err_msg=f)
+    # checkpoint round-trip through the shared io path
+    from fem_glass_tempering_tpu.io.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "dd.npz")
+        save_checkpoint(p, g, extra={"t": float(g.t)})
+        st2, meta = load_checkpoint(p)
+        np.testing.assert_array_equal(np.asarray(st2.T), np.asarray(g.T))

@@ -72,3 +72,20 @@ def test_dd_cross_facets_exist(devices):
     part = partition_cells(mesh, 8)
     cp, cm = mesh.interior_cell_p, mesh.interior_cell_m
     assert int((part[cp] != part[cm]).sum()) >= 7
+
+
+def test_dgdd_gather_state_matches_single(devices):
+    mesh = reference_glass_mesh_1d()
+    cfg = _cfg(3)
+    ref = ThermoViscoProblem(mesh=mesh, config=cfg)
+    ref.setup()
+    st_ref = ref.solve()
+    dd = DDProblem(mesh, cfg, n_parts=8, devices=devices)
+    st = dd.init_state()
+    for _ in range(3):
+        st, ok, *_ = dd.step(st)
+    g = dd.gather_state(st)
+    for f in ("T", "Tf", "Tf_partial", "xi", "sigma", "sigma_partial"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g, f)), np.asarray(getattr(st_ref, f)),
+            rtol=1e-9, atol=1e-11, err_msg=f)
