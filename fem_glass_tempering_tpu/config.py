@@ -101,6 +101,7 @@ class SolverConfig:
     cg_atol: float = 0.0
     cg_max_it: int = 1000
     preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
+    mg_smoother: str = "jacobi"     # 'jacobi' | 'chebyshev' (GAMG-style)
     # 'matrix_free' = jvp-of-residual matvec (reassembles each CG iter);
     # 'assembled' = pre-assembled HBM-resident ELL SpMV (ops/spmv.py)
     linear_operator: str = "matrix_free"

@@ -174,7 +174,8 @@ class ThermoViscoProblem:
                                     dtype=self.dtype, bc_dofs=bd,
                                     bc_value=bc_val)
 
-            self._mg = GeometricMG(self.mesh, make_operator, dtype=self.dtype)
+            self._mg = GeometricMG(self.mesh, make_operator, dtype=self.dtype,
+                                   smoother=sc.mg_smoother)
             import jax.numpy as _jnp
             self._mg.freeze_omegas(
                 _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,

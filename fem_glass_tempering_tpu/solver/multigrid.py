@@ -126,12 +126,19 @@ class GeometricMG:
     def __init__(self, mesh: Mesh, make_operator, *, nu_pre: int = 2,
                  nu_post: int = 2, omega: float = 0.67,
                  coarse_iters: int = 24, min_level_nodes: int = 27,
-                 use_stencil: bool = True, dtype=jnp.float64):
+                 use_stencil: bool = True, smoother: str = "jacobi",
+                 dtype=jnp.float64):
         if mesh.structured is None:
             raise ValueError("geometric MG needs a structured box mesh")
+        if smoother not in ("jacobi", "chebyshev"):
+            raise ValueError(smoother)
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_iters = coarse_iters
+        # 'chebyshev': GAMG-style polynomial smoothing over D^{-1}A with
+        # spectrum bounds [rho/4, 1.05 rho] — wider high-frequency band per
+        # sweep than damped Jacobi on tough spectra
+        self.smoother = smoother
         # per-level stencil matvecs (gather-free, the TPU-fast path); falls
         # back to jvp-of-residual when the level operator can't stencil
         self.use_stencil = use_stencil
@@ -180,8 +187,8 @@ class GeometricMG:
 
         matvecs = []
         diags = []
-        omegas = []
-        frozen = getattr(self, "_frozen_omegas", None)
+        rhos = []
+        frozen = getattr(self, "_frozen_rhos", None)
         for i, (lvl, T) in enumerate(zip(levels, T_levels)):
             op = lvl.op
             st = self._stencil_for(lvl)
@@ -194,25 +201,49 @@ class GeometricMG:
             d = lvl.op.jacobian_diag(T, dt)
             diags.append(d)
             if frozen is not None:
-                omegas.append(frozen[i])
+                rhos.append(frozen[i])
                 continue
             # spectral radius of D^{-1}A by power iteration: consistent-mass
             # FEM operators on anisotropic grids push lambda_max(D^{-1}A)
             # well past 2, where a fixed-omega Jacobi smoother diverges.
-            # omega = 4/(3 rho) is the optimal damped-Jacobi smoother for a
-            # spectrum in (0, rho] (the GAMG/Chebyshev convention).
             v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
             rho = jnp.asarray(1.0, T.dtype)
             for _ in range(10):
                 w = f(v) / d
                 rho = jnp.linalg.norm(w) / jnp.linalg.norm(v)
                 v = w / jnp.linalg.norm(w)
-            omegas.append(4.0 / (3.0 * rho * 1.05))
+            rhos.append(rho * 1.05)
 
-        def smooth(i, x, b, nu):
+        def smooth_jacobi(i, x, b, nu):
+            # omega = 4/(3 rho): optimal damped Jacobi for a spectrum (0, rho]
+            omega = 4.0 / (3.0 * rhos[i])
             for _ in range(nu):
-                x = x + omegas[i] * (b - matvecs[i](x)) / diags[i]
+                x = x + omega * (b - matvecs[i](x)) / diags[i]
             return x
+
+        def smooth_cheb(i, x, b, nu):
+            # Chebyshev over D^{-1}A on [rho/4, rho] (GAMG convention),
+            # textbook three-term recurrence
+            lmax = rhos[i]
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho_k = 1.0 / sigma
+            r = b - matvecs[i](x)
+            z = r / diags[i]
+            p = z / theta
+            x = x + p
+            for _ in range(max(nu - 1, 0)):
+                r = b - matvecs[i](x)
+                z = r / diags[i]
+                rho_next = 1.0 / (2.0 * sigma - rho_k)
+                p = rho_next * rho_k * p + (2.0 * rho_next / delta) * z
+                x = x + p
+                rho_k = rho_next
+            return x
+
+        smooth = smooth_jacobi if self.smoother == "jacobi" else smooth_cheb
 
         def cycle(i, b):
             if levels[i].parents is None:
@@ -258,8 +289,8 @@ class GeometricMG:
                 w = f(v) / d
                 rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
                 v = w / jnp.linalg.norm(w)
-            vals.append(4.0 / (3.0 * rho * 1.05))
-        self._frozen_omegas = vals
+            vals.append(rho * 1.05)
+        self._frozen_rhos = vals
 
     def linearization_states(self, T_fine):
         """Per-level temperature states: injection (even-node sampling) of

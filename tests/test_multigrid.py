@@ -82,3 +82,26 @@ def test_mg_rejects_unstructured():
     prob = ThermoViscoProblem(mesh=reference_glass_mesh_1d(), config=cfg)
     with pytest.raises(ValueError, match="structured"):
         prob.setup()
+
+
+def test_mg_chebyshev_smoother():
+    """Chebyshev-smoothed MG matches the Jacobi-smoothed solution and is at
+    least as effective in iterations on the anisotropic plate."""
+    mesh_fn = lambda: box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+
+    def solve(smoother):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="CG", T_degree=1),
+            time=TimeConfig(0.0, 0.1, 0.1),
+            solver=SolverConfig(preconditioner="mg", mg_smoother=smoother),
+            output=OutputConfig(write_every=0, formats=()),
+        )
+        prob = ThermoViscoProblem(mesh=mesh_fn(), config=cfg)
+        prob.setup()
+        st = prob.solve()
+        return np.asarray(st.T), prob.diagnostics.krylov_iters
+
+    T_j, it_j = solve("jacobi")
+    T_c, it_c = solve("chebyshev")
+    np.testing.assert_allclose(T_c, T_j, rtol=1e-9, atol=1e-7)
+    assert it_c <= it_j * 1.5, (it_c, it_j)
