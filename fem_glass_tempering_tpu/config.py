@@ -30,6 +30,9 @@ class FEConfig:
     T_degree: int = 1
     sigma_family: str = "CG"
     sigma_degree: int = 1
+    # override the automatic quadrature degree (cell: 2p+1, boundary: 5p
+    # for the T^4 radiation integrand); None = automatic
+    quad_degree: int | None = None
 
     def __post_init__(self) -> None:
         for fam in (self.T_family, self.sigma_family):

@@ -156,6 +156,7 @@ class ThermoViscoProblem:
         self.heat = HeatOperator(
             self.fs_T, self.params, self.dt, dtype=self.dtype,
             bc_dofs=bc_dofs, bc_value=bc_val,
+            quad_degree=self.config.fe.quad_degree,
         )
         self._mg = None
         if sc.preconditioner == "mg":

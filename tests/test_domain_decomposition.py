@@ -89,3 +89,22 @@ def test_dgdd_gather_state_matches_single(devices):
         np.testing.assert_allclose(
             np.asarray(getattr(g, f)), np.asarray(getattr(st_ref, f)),
             rtol=1e-9, atol=1e-11, err_msg=f)
+
+
+def test_dd_unstructured_tet_mesh(devices):
+    """DG domain decomposition on an UNSTRUCTURED (tet) mesh — the
+    partitioner and halo machinery are mesh-agnostic."""
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+
+    mesh = box_mesh_3d(2, 2, 2, cell_type="tet")
+    cfg = _cfg(2)
+    ref = ThermoViscoProblem(mesh=mesh, config=cfg)
+    ref.setup()
+    st_ref = ref.solve()
+    dd = DDProblem(mesh, cfg, n_parts=8, devices=devices)
+    st = dd.init_state()
+    for _ in range(2):
+        st, ok, *_ = dd.step(st)
+        assert ok
+    np.testing.assert_allclose(dd.gather_T(st), np.asarray(st_ref.T),
+                               rtol=1e-10, atol=1e-9)
