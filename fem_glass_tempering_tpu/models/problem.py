@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time as _time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax
@@ -30,9 +30,7 @@ import numpy as np
 from fem_glass_tempering_tpu.config import (
     FEConfig,
     ModelParams,
-    OutputConfig,
     RunConfig,
-    SolverConfig,
     TimeConfig,
 )
 from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace

@@ -24,7 +24,6 @@ padded to rows*128 and viewed as (rows, 128); block = (BLOCK_ROWS, 128).
 
 from __future__ import annotations
 
-import functools
 from functools import partial
 
 import jax

@@ -19,7 +19,6 @@ PETSc's assembled AIJ matrices.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

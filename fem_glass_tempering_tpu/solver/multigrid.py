@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
 from fem_glass_tempering_tpu.fem.mesh import (
     Mesh,
     box_mesh_2d,
