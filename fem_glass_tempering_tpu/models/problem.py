@@ -356,6 +356,54 @@ class ThermoViscoProblem:
             print(f"Solve finished in {self.elapsed_seconds} seconds.")
         return self.state
 
+    def solve_scan(self, fields: tuple = ("T", "Tf", "sigma")):
+        """Fully on-device time loop: ONE dispatch for the whole run via
+        lax.scan over snapshot chunks, returning stacked field snapshots.
+        No host synchronization until the end — the maximal-fusion
+        counterpart of solve()'s streaming loop (use solve() when you want
+        per-snapshot writers/checkpoints instead).
+
+        Returns (final_state, dict with 'times' + stacked arrays per field).
+        """
+        assert self.state is not None, "call setup() first"
+        import time as _t
+
+        t_start = _t.time()
+        we = self.config.output.write_every
+        chunk = we if we and we > 0 else self.n_steps
+        n_chunks = self.n_steps // chunk
+        rem = self.n_steps - n_chunks * chunk
+        ms = self._multi_step_raw
+        dtv = self.dt
+
+        def body(carry, _):
+            st, ok_all = carry
+            st, ok, ni, ki = ms(st, chunk, dtv)
+            outs = tuple(getattr(st, f) for f in fields)
+            return (st, ok_all & ok), (st.t, outs, ni, ki)
+
+        def run(state):
+            (st, ok), (ts, outs, ni, ki) = jax.lax.scan(
+                body, (state, jnp.bool_(True)), None, length=n_chunks)
+            return st, ok, ts, outs, ni, ki
+
+        st, ok, ts, outs, ni, ki = jax.jit(run, donate_argnums=0)(self.state)
+        if rem:
+            st, ok2, ni2, ki2 = self._multi_step_dt(st, rem, dtv)
+            ok = ok & ok2
+        jax.block_until_ready(st)
+        if not bool(ok):
+            raise RuntimeError("Newton failed to converge during solve_scan")
+        self.state = st
+        self.t = self.time[0] + self.n_steps * self.dt
+        self.diagnostics.newton_iters += int(np.sum(np.asarray(ni)))
+        self.diagnostics.krylov_iters += int(np.sum(np.asarray(ki)))
+        self.elapsed_seconds = _t.time() - t_start
+        result = {"times": np.asarray(ts)}
+        for i, f in enumerate(fields):
+            result[f] = np.asarray(outs[i])
+        return st, result
+
     def _retry_chunk(self, snapshot, n: int):
         """Failure recovery (absent in the reference, which aborts —
         ThermoViscoProblem.py:390): rerun a failed n-step chunk at
