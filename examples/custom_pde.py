@@ -7,6 +7,10 @@ with k(u) = 1 + 0.1 u (solution-dependent conductivity), solved by the
 same matrix-free Newton-CG machinery.
 """
 
+import jax
+
+jax.config.update("jax_enable_x64", True)  # tight Newton tolerance needs f64
+
 import jax.numpy as jnp
 import numpy as np
 
