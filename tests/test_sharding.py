@@ -66,3 +66,25 @@ def test_sharded_arrays_actually_distributed(devices):
     shards = prob.heat.qw.sharding
     assert len(shards.device_set) == 8
     prob.solve()
+
+
+def test_sharded_with_stencil_operator(devices):
+    """shard_problem composes with linear_operator='stencil': the stencil
+    tables are rebuilt from the padded sharded operator arrays and must
+    still reproduce the unsharded solution."""
+    from fem_glass_tempering_tpu.config import SolverConfig
+
+    mesh = box_mesh_3d(4, 4, 2)
+    fe = FEConfig(T_family="CG", T_degree=1)
+    cfg = RunConfig(fe=fe, time=TimeConfig(0.0, 0.3, 0.1),
+                    solver=SolverConfig(linear_operator="stencil"))
+    probA = ThermoViscoProblem(mesh=mesh, config=cfg)
+    probA.setup()
+    stA = probA.solve()
+
+    probB = ThermoViscoProblem(mesh=mesh, config=cfg)
+    probB.setup()
+    shard_problem(probB, make_device_mesh(devices))
+    stB = probB.solve()
+    np.testing.assert_allclose(np.asarray(stB.T), np.asarray(stA.T),
+                               rtol=1e-11)
