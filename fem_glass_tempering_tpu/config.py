@@ -146,6 +146,11 @@ class RunConfig:
     physics_mode: str = "reference"
     # 'eq5' Arrhenius (the reference's live definition) | 'eq25' chi-weighted TN
     shift_function: str = "eq5"
+    # 'none' reproduces the reference (total strain = -thermal strain, no
+    # force balance); 'equilibrium' solves quasi-static mechanical
+    # equilibrium each step (models/mechanics.py) — self-equilibrated
+    # residual stress, a capability the reference explicitly skips
+    mechanics: str = "none"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
     # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)
@@ -170,6 +175,7 @@ class RunConfig:
             ),
             physics_mode=raw.get("physics_mode", "reference"),
             shift_function=raw.get("shift_function", "eq5"),
+            mechanics=raw.get("mechanics", "none"),
             dtype=raw.get("dtype", "float64"),
             use_pallas=raw.get("use_pallas", False),
         )

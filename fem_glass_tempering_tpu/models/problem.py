@@ -140,11 +140,15 @@ class ThermoViscoProblem:
         self._multi_step_jit = None
 
     # ------------------------------------------------------------------
-    def setup(self, dirichlet_bc: bool = False, output_dir: str | None = None) -> None:
+    def setup(self, dirichlet_bc: bool = False, output_dir: str | None = None,
+              flux_marker=None) -> None:
         """Initial conditions + solver + (optional) output writers.
 
         Mirrors reference setup() (ThermoViscoProblem.py:176-184); the
         Dirichlet option clamps the boundary to T_ambient and works.
+        `flux_marker(midpoints) -> bool mask` restricts the radiation +
+        convection flux to selected boundary facets (insulated elsewhere) —
+        e.g. only the large faces of a plate.
         """
         sc = self.config.solver
         bc_dofs = bc_val = None
@@ -155,7 +159,16 @@ class ThermoViscoProblem:
             self.fs_T, self.params, self.dt, dtype=self.dtype,
             bc_dofs=bc_dofs, bc_value=bc_val,
             quad_degree=self.config.fe.quad_degree,
+            flux_marker=flux_marker,
         )
+        self._mech = None
+        if self.config.mechanics == "equilibrium":
+            from fem_glass_tempering_tpu.models.mechanics import (
+                MechanicsCoupling,
+            )
+            self._mech = MechanicsCoupling(
+                self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
+                cg_rtol=min(self.config.solver.cg_rtol, 1e-8))
         self._mg = None
         if sc.preconditioner == "mg":
             if (self.mesh.structured is None or self.fs_T.family != "CG"
@@ -246,6 +259,7 @@ class ThermoViscoProblem:
         default_dt = self.dt
 
         mg = self._mg
+        mech_fn = self._mech
         ell = None
         if sc.linear_operator == "assembled":
             from fem_glass_tempering_tpu.ops.spmv import EllMatrix
@@ -273,7 +287,7 @@ class ThermoViscoProblem:
                 rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
                 cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
             )
-            new_state = engine.material_step(state, res.x, dt)
+            new_state = engine.material_step(state, res.x, dt, mech=mech_fn)
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 

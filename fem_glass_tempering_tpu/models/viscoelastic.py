@@ -194,11 +194,12 @@ class ViscoelasticEngine:
         return 1.0 - y + 0.5 * y * y
 
     def material_step(self, state: ViscoState, T_new: jnp.ndarray,
-                      dt=None) -> ViscoState:
-        return self.material_step_with(state, T_new, self.to_sigma.eval, dt)
+                      dt=None, mech=None) -> ViscoState:
+        return self.material_step_with(state, T_new, self.to_sigma.eval, dt,
+                                       mech=mech)
 
     def material_step_with(self, state: ViscoState, T_new: jnp.ndarray,
-                           ev, dt=None) -> ViscoState:
+                           ev, dt=None, mech=None) -> ViscoState:
         """Advance all material fields given the freshly solved temperature.
 
         Mirrors solve_timestep's post-heat cascade
@@ -206,7 +207,10 @@ class ViscoelasticEngine:
         selected physics_mode. `ev(name, dof_array)` evaluates a T-space
         field at the sigma-space points — the default is the global
         CrossEval; the domain-decomposed path passes a device-local
-        evaluator (parallel/domain.py).
+        evaluator (parallel/domain.py). `mech(state, xi, scalar_th)` (see
+        models/mechanics.py) returns the mechanical strain eps(du) at the
+        sigma points; None reproduces the reference's no-equilibrium
+        semantics (total strain = -thermal strain).
         """
         p = self.params
         dt = self.dt if dt is None else dt
@@ -247,7 +251,16 @@ class ViscoelasticEngine:
         dT_s = T_s - T_prev_s
         scalar_th = p.alpha_solid * dT_s + (p.alpha_liquid - p.alpha_solid) * dTf_s
         thermal_strain = scalar_th[:, None, None] * self.I             # eq. 9
-        total_strain = -thermal_strain                                 # eq. 28
+        if mech is None:
+            total_strain = -thermal_strain                             # eq. 28
+        else:
+            # equilibrium mechanics: total = eps(du) - d_eps_th (the
+            # reference's eq. 28 is the du = 0 special case)
+            dTf_T = jnp.zeros_like(T_new) if ref else Tf - state.Tf
+            scalar_th_T = (p.alpha_solid * (T_new - state.T_prev)
+                           + (p.alpha_liquid - p.alpha_solid) * dTf_T)
+            eps_mech = mech(state, xi, scalar_th_T)
+            total_strain = eps_mech - thermal_strain
         tr_tot = jnp.trace(total_strain, axis1=-2, axis2=-1)
         deviatoric_strain = total_strain - (
             tr_tot[:, None, None] / self.dim

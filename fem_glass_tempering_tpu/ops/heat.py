@@ -42,7 +42,8 @@ class HeatOperator:
     def __init__(self, fs: FunctionSpace, params: ModelParams, dt: float,
                  dtype=jnp.float64, quad_degree: int | None = None,
                  bc_dofs: np.ndarray | None = None, bc_value: float | None = None,
-                 source: np.ndarray | None = None):
+                 source: np.ndarray | None = None,
+                 flux_marker=None):
         self.fs = fs
         self.params = params
         self.dt = float(dt)
@@ -58,6 +59,17 @@ class HeatOperator:
         # extra points are cheap
         bq = quad_degree if quad_degree is not None else 5 * fs.degree
         bg = build_boundary_geometry(mesh, fs, bq)
+        # optional selective flux boundary: marker(midpoints (f, gdim)) ->
+        # bool mask selecting the facets that radiate/convect; the rest are
+        # insulated. Default None = whole boundary (reference parity, the
+        # reference's ds spans all exterior facets, ThermoViscoProblem.py:281)
+        if flux_marker is not None and len(bg.cell):
+            mids = bg.qpoints_phys.mean(axis=1)
+            keep = np.asarray(flux_marker(mids), dtype=bool)
+            bg = type(bg)(
+                cell=bg.cell[keep], qweights=bg.qweights[keep],
+                phi=bg.phi[keep], grad_phys=bg.grad_phys[keep],
+                normal=bg.normal[keep], qpoints_phys=bg.qpoints_phys[keep])
         f32 = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 

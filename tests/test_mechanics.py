@@ -1,0 +1,136 @@
+"""Mechanical-equilibrium coupling tests (beyond-reference capability)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_glass_tempering_tpu.config import (
+    FEConfig,
+    ModelParams,
+    OutputConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import box_mesh_2d, box_mesh_3d
+from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+from fem_glass_tempering_tpu.ops.elasticity import ElasticityOperator
+
+
+def test_elasticity_free_expansion_is_stress_free():
+    """Uniform imposed strain on a traction-free body: equilibrium gives
+    eps(du) = eps0 (free expansion), i.e. stress-generating strain ~ 0."""
+    mesh = box_mesh_2d(6, 6)
+    fs_sigma = FunctionSpace(mesh, "CG", 1, value_shape=(2, 2))
+    el = ElasticityOperator(fs_sigma)
+    c = el.qw.shape[0]
+    q = el.qw.shape[1]
+    eps0 = jnp.broadcast_to(0.01 * jnp.eye(2), (c, q, 2, 2))
+    G = jnp.full((c, q), 5.0)
+    K = jnp.full((c, q), 8.0)
+    sig_hist = jnp.zeros((c, q, 2, 2))
+    du, iters = el.solve_increment(sig_hist, eps0, G, K, rtol=1e-12)
+    eps_mech = np.asarray(el.strain_at_sigma_dofs(du))
+    expect = np.broadcast_to(0.01 * np.eye(2), eps_mech.shape)
+    np.testing.assert_allclose(eps_mech, expect, atol=1e-8)
+
+
+def test_elasticity_patch_linear_displacement():
+    """A linear displacement field (uniform strain) is reproduced exactly:
+    impose eps0 equal to a traceless shear; solution strain == eps0."""
+    mesh = box_mesh_3d(3, 3, 2)
+    fs_sigma = FunctionSpace(mesh, "CG", 1, value_shape=(3, 3))
+    el = ElasticityOperator(fs_sigma)
+    c, q = el.qw.shape
+    e = np.zeros((3, 3))
+    e[0, 1] = e[1, 0] = 0.005
+    e[2, 2] = -0.002
+    eps0 = jnp.broadcast_to(jnp.asarray(e), (c, q, 3, 3))
+    G = jnp.full((c, q), 3.0)
+    K = jnp.full((c, q), 7.0)
+    du, _ = el.solve_increment(jnp.zeros((c, q, 3, 3)), eps0, G, K, rtol=1e-12)
+    eps_mech = np.asarray(el.strain_at_sigma_dofs(du))
+    np.testing.assert_allclose(eps_mech, np.broadcast_to(e, eps_mech.shape),
+                               atol=1e-8)
+
+
+def _run(mechanics, n_steps=50):
+    """Quenching PLATE: in-plane 50x50 >> thickness 10, cooled only on the
+    z faces (insulated sides via flux_marker) so a through-thickness
+    temperature gradient persists over the window."""
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        time=TimeConfig(0.0, n_steps * 0.1, 0.1),
+        solver=SolverConfig(),
+        output=OutputConfig(write_every=0, formats=()),
+        physics_mode="corrected",
+        mechanics=mechanics,
+    )
+    mesh = box_mesh_3d(4, 4, 16, 50.0, 50.0, 10.0)
+    prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+    zmark = lambda m: (m[:, 2] < 1e-9) | (m[:, 2] > 10.0 - 1e-9)
+    prob.setup(flux_marker=zmark)
+    st = prob.solve()
+    return prob, st
+
+
+def _center_profile(prob, st):
+    xs = prob.fs_sigma.dof_coords
+    center = (np.abs(xs[:, 0] - 25) < 1e-9) & (np.abs(xs[:, 1] - 25) < 1e-9)
+    sig = np.asarray(st.sigma)[:, 0, 0]
+    z = xs[center][:, 2]
+    order = np.argsort(z)
+    return z[order], sig[center][order]
+
+
+def test_equilibrium_membrane_balance():
+    """With equilibrium mechanics the mid-plate through-thickness stress
+    profile is (weakly) self-balanced — |thickness-mean| a small fraction
+    of the profile scale — and shows the mid-quench tempering signature
+    (surface tension, core compression while cooling). Without mechanics
+    (reference semantics) the profile is one-signed and unbalanced."""
+    prob_n, st_n = _run("none")
+    z, pn = _center_profile(prob_n, st_n)
+    mem_n = abs(np.trapezoid(pn, z) / (z[-1] - z[0]))
+    assert mem_n > 0.2 * np.abs(pn).max()
+    # one-signed (no force balance at all)
+    assert pn.min() > 0
+
+    prob_e, st_e = _run("equilibrium")
+    z, pe = _center_profile(prob_e, st_e)
+    mem_e = abs(np.trapezoid(pe, z) / (z[-1] - z[0]))
+    assert mem_e < 0.05 * np.abs(pe).max(), (mem_e, np.abs(pe).max())
+    # mid-quench signature: surfaces in tension, core in compression
+    assert pe[0] > 0 and pe[-1] > 0
+    assert pe[len(pe) // 2] < 0
+    # symmetric plate -> symmetric profile
+    np.testing.assert_allclose(pe, pe[::-1], atol=0.05 * np.abs(pe).max())
+
+
+def test_equilibrium_reduces_to_reference_when_clamped_uniform():
+    """Sanity: with mechanics enabled, a SPATIALLY UNIFORM cooling step on
+    a free body produces near-zero stress (free contraction), unlike the
+    no-equilibrium mode which produces large fictitious stress."""
+    import dataclasses as dc
+
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        time=TimeConfig(0.0, 0.1, 0.1),
+        output=OutputConfig(write_every=0, formats=()),
+        physics_mode="corrected",
+        mechanics="equilibrium",
+        # kill boundary flux -> uniform temperature drop via source
+        params=dc.replace(ModelParams(), epsilon=0.0, sigma=0.0, htc=0.0,
+                          f=-50.0),
+    )
+    prob = ThermoViscoProblem(mesh=box_mesh_3d(3, 3, 2), config=cfg)
+    prob.setup()
+    st = prob.solve()
+    T = np.asarray(st.T)
+    assert T.std() < 1e-6          # uniform cooling
+    sig = np.asarray(st.sigma)
+    # free uniform contraction -> (near) zero stress
+    assert np.abs(sig).max() < 1e-8, np.abs(sig).max()
