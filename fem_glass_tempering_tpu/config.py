@@ -151,6 +151,10 @@ class RunConfig:
     # equilibrium each step (models/mechanics.py) — self-equilibrated
     # residual stress, a capability the reference explicitly skips
     mechanics: str = "none"
+    # 'reference': xi = dt/2 (phi_next - phi) as the reference codes eq. 19
+    # (negative while cooling — no true relaxation; SURVEY.md §Quirks 4);
+    # 'trapezoid': the physical dt/2 (phi_next + phi)
+    xi_formula: str = "reference"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
     # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)
@@ -176,6 +180,7 @@ class RunConfig:
             physics_mode=raw.get("physics_mode", "reference"),
             shift_function=raw.get("shift_function", "eq5"),
             mechanics=raw.get("mechanics", "none"),
+            xi_formula=raw.get("xi_formula", "reference"),
             dtype=raw.get("dtype", "float64"),
             use_pallas=raw.get("use_pallas", False),
         )

@@ -69,14 +69,15 @@ class MechanicsCoupling:
         xi_q = self._T_at_q(xi)                            # (c, q)
         th_q = self._T_at_q(scalar_th)
         eps0_q = th_q[..., None, None] * self.I            # (c, q, d, d)
-        # effective tangent moduli from the Prony tableau at xi
+        # effective tangent moduli from the Prony tableau at xi (the same
+        # relax factor the stress update uses, mode-consistent)
         G_eff = jnp.sum(
             eng.g_n[None, None, :]
-            * (1.0 - 0.5 * xi_q[..., None] / eng.lambda_g_n[None, None, :]),
+            * eng._relax_factor(xi_q[..., None] / eng.lambda_g_n[None, None, :]),
             axis=-1)
         K_eff = jnp.sum(
             eng.k_n[None, None, :]
-            * (1.0 - 0.5 * xi_q[..., None] / eng.lambda_k_n[None, None, :]),
+            * eng._relax_factor(xi_q[..., None] / eng.lambda_k_n[None, None, :]),
             axis=-1)
         # decayed history stress at quad points (matches the engine's
         # eq. 16a/b decay with the mode's source fields)
@@ -84,9 +85,9 @@ class MechanicsCoupling:
         s_src = state.s_tilde if ref else state.s_partial
         sig_src = state.sigma_tilde if ref else state.sigma_partial
         xi_dofs_S = eng.to_sigma.eval("T", xi)             # (nS,)
-        texp_g = eng._taylor_exp(
+        texp_g = eng._decay(
             xi_dofs_S[:, None] / eng.lambda_g_n[None, :])[:, :, None, None]
-        texp_k = eng._taylor_exp(
+        texp_k = eng._decay(
             xi_dofs_S[:, None] / eng.lambda_k_n[None, :])[:, :, None, None]
         sigma_hist = jnp.sum(s_src * texp_g + sig_src * texp_k, axis=1)
         sigma_hist_q = self._S_at_q(sigma_hist)            # (c, q, d, d)

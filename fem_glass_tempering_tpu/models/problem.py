@@ -129,7 +129,8 @@ class ThermoViscoProblem:
         self.engine = ViscoelasticEngine(
             self.fs_T, self.fs_sigma, self.params, self.dt,
             physics_mode=run_cfg.physics_mode,
-            shift_function=run_cfg.shift_function, dtype=self.dtype,
+            shift_function=run_cfg.shift_function,
+            xi_formula=run_cfg.xi_formula, dtype=self.dtype,
             use_pallas=run_cfg.use_pallas,
         )
         self.heat: HeatOperator | None = None

@@ -119,14 +119,25 @@ class ViscoelasticEngine:
                  tableaus: PronyTableaus | None = None,
                  physics_mode: str = "reference",
                  shift_function: str = "eq5",
+                 xi_formula: str = "reference",
                  use_pallas: bool = False,
                  dtype=jnp.float64):
         if physics_mode not in ("reference", "corrected"):
             raise ValueError(physics_mode)
         if shift_function not in ("eq5", "eq25"):
             raise ValueError(shift_function)
-        # hand-fused Pallas path for the T-space chain (eq5 shift only)
-        self.use_pallas = bool(use_pallas) and shift_function == "eq5"
+        if xi_formula not in ("reference", "trapezoid"):
+            raise ValueError(xi_formula)
+        # 'reference': xi = dt/2 (phi_next - phi) as coded by the reference
+        # (SURVEY.md §Quirks 4) — NEGATIVE while cooling, so the 'decay'
+        # factor exceeds 1 and no true relaxation happens. 'trapezoid':
+        # xi = dt/2 (phi_next + phi), the physical shifted-time increment
+        # (positive; hot glass relaxes, cold glass freezes) — required for
+        # residual-stress inversion in full tempering runs.
+        self.xi_formula = xi_formula
+        # hand-fused Pallas path for the T-space chain (eq5 + reference-xi)
+        self.use_pallas = (bool(use_pallas) and shift_function == "eq5"
+                           and xi_formula == "reference")
         self.fs_T = fs_T
         self.fs_sigma = fs_sigma
         self.params = params
@@ -193,6 +204,25 @@ class ViscoelasticEngine:
         ViscoelasticModel.py:233-242)."""
         return 1.0 - y + 0.5 * y * y
 
+    def _decay(self, y):
+        """Stress decay factor e^{-y}: Taylor in reference-xi mode (parity;
+        only valid for |y| << 1), exact exponential in trapezoid mode
+        (xi/lambda reaches 1e4+ above the transition, where the Taylor
+        explodes)."""
+        if self.xi_formula == "reference":
+            return self._taylor_exp(y)
+        return jnp.exp(-y)
+
+    def _relax_factor(self, y):
+        """(lambda/xi)(1 - e^{-xi/lambda}), the eq. 15 increment factor.
+        Reference-xi mode uses the Taylor-consistent 1 - y/2; trapezoid mode
+        the exact, singularity-free form (series for tiny y)."""
+        if self.xi_formula == "reference":
+            return 1.0 - 0.5 * y
+        safe = jnp.where(jnp.abs(y) < 1e-8, 1.0, y)
+        return jnp.where(jnp.abs(y) < 1e-8, 1.0 - 0.5 * y,
+                         (1.0 - jnp.exp(-safe)) / safe)
+
     def material_step(self, state: ViscoState, T_new: jnp.ndarray,
                       dt=None, mech=None) -> ViscoState:
         return self.material_step_with(state, T_new, self.to_sigma.eval, dt,
@@ -234,7 +264,10 @@ class ViscoelasticEngine:
             Tf = Tf_partial @ self.m_n                                 # eq. 26
             T_next = 2.0 * T_new - state.T_prev       # linear predictor
             phi_next = self._phi_of(T_next, Tf)
-            xi = 0.5 * dt * (phi_next - phi)                           # eq. 19
+            if self.xi_formula == "reference":
+                xi = 0.5 * dt * (phi_next - phi)                       # eq. 19 as coded
+            else:
+                xi = 0.5 * dt * (phi_next + phi)      # physical trapezoid
 
         # ---- evaluate T-space quantities at sigma-space points ----
         T_s = ev("T", T_new)
@@ -269,16 +302,16 @@ class ViscoelasticEngine:
         # ---- Prony stress updates (tableau axis n broadcast) ----
         y_g = xi_s[:, None] / self.lambda_g_n[None, :]                 # (nS, 6)
         y_k = xi_s[:, None] / self.lambda_k_n[None, :]
-        texp_g = self._taylor_exp(y_g)[:, :, None, None]
-        texp_k = self._taylor_exp(y_k)[:, :, None, None]
+        texp_g = self._decay(y_g)[:, :, None, None]
+        texp_k = self._decay(y_k)[:, :, None, None]
         # eq. 15a+20, singularity-free exact form
         ds = (2.0 * self.g_n[None, :, None, None]
               * deviatoric_strain[:, None, :, :]
-              * (1.0 - 0.5 * y_g)[:, :, None, None])
+              * self._relax_factor(y_g)[:, :, None, None])
         # eq. 15b+20
         dsig = (self.k_n[None, :, None, None]
                 * (tr_tot[:, None, None] * self.I)[:, None, :, :]
-                * (1.0 - 0.5 * y_k)[:, :, None, None])
+                * self._relax_factor(y_k)[:, :, None, None])
         # eq. 16a/b: decay. reference mode decays s_tilde (which stays 0,
         # quirk (b)); corrected mode decays the accumulated partial stress.
         s_decay_src = state.s_tilde if ref else state.s_partial

@@ -134,3 +134,43 @@ def test_equilibrium_reduces_to_reference_when_clamped_uniform():
     sig = np.asarray(st.sigma)
     # free uniform contraction -> (near) zero stress
     assert np.abs(sig).max() < 1e-8, np.abs(sig).max()
+
+
+def test_residual_stress_inversion_full_temper():
+    """THE tempering result: quench a plate from above the transition
+    (T0=900 K > Tb=869 K) with equilibrium mechanics, corrected history and
+    the physical scaled-time increment — after cooldown the residual
+    profile INVERTS to surface COMPRESSION balanced by core TENSION (the
+    property that makes tempered glass strong). The reference cannot
+    produce this in any configuration (no force balance, no relaxation:
+    its xi is negative while cooling)."""
+    params = dataclasses.replace(ModelParams(), T_0=900.0)
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        time=TimeConfig(0.0, 40.0, 0.2),
+        output=OutputConfig(write_every=0, formats=()),
+        params=params,
+        physics_mode="corrected", mechanics="equilibrium",
+        xi_formula="trapezoid",
+    )
+    mesh = box_mesh_3d(3, 3, 12, 50.0, 50.0, 10.0)
+    prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+    zmark = lambda m: (m[:, 2] < 1e-9) | (m[:, 2] > 10.0 - 1e-9)
+    prob.setup(flux_marker=zmark)
+    st = prob.solve()
+    xs = prob.fs_sigma.dof_coords
+    cx = 50.0 / 3.0
+    center = (np.abs(xs[:, 0] - cx) < 1e-6) & (np.abs(xs[:, 1] - cx) < 1e-6)
+    sig = np.asarray(st.sigma)[:, 0, 0]
+    z = xs[center][:, 2]
+    o = np.argsort(z)
+    pc = sig[center][o]
+    # surfaces compressive, core tensile
+    assert pc[0] < 0 and pc[-1] < 0, pc
+    assert pc[len(pc) // 2] > 0, pc
+    # canonical magnitude ordering: |surface compression| > core tension
+    assert abs(pc[0]) > pc[len(pc) // 2]
+    # symmetric, approximately balanced
+    np.testing.assert_allclose(pc, pc[::-1], atol=0.1 * np.abs(pc).max())
+    mem = abs(np.trapezoid(pc, z[o]) / (z[o][-1] - z[o][0]))
+    assert mem < 0.1 * np.abs(pc).max()
