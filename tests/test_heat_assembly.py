@@ -192,3 +192,28 @@ def test_jacobian_diag_matches_jvp():
         e = jnp.zeros(n).at[i].set(1.0)
         col = jax.jvp(f, (T,), (e,))[1]
         np.testing.assert_allclose(float(diag[i]), float(col[i]), rtol=1e-9)
+
+
+def test_flux_marker_insulates_selected_faces():
+    """flux_marker restricts Robin flux to chosen facets: with only the
+    x=0 face cooling, the opposite face stays (nearly) at T_0 after a few
+    steps while the cooled face drops."""
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_2d
+
+    m = box_mesh_2d(6, 4, 1.0, 1.0)
+    fs = FunctionSpace(m, "CG", 1)
+    p = _params()
+    op = HeatOperator(fs, p, dt=0.1,
+                      flux_marker=lambda mid: mid[:, 0] < 1e-9)
+    T = jnp.full(fs.n_scalar_dofs, p.T_0)
+    for _ in range(3):
+        res = newton_solve(lambda U: op.residual(U, T),
+                           T, jac_diag_fn=op.jacobian_diag)
+        assert bool(res.converged)
+        T = res.x
+    x = fs.dof_coords
+    left = np.asarray(T)[x[:, 0] < 1e-9]
+    right = np.asarray(T)[x[:, 0] > 1.0 - 1e-9]
+    assert left.max() < p.T_0 - 10.0           # cooled face drops hard
+    # insulated face only loses heat via conduction -> clearly warmer
+    assert right.min() > left.max() + 10.0
