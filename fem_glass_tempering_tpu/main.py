@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t-element", default=None, help="T element, e.g. DG1 / CG2")
     p.add_argument("--sigma-element", default=None)
     p.add_argument("--physics-mode", choices=("reference", "corrected"))
+    p.add_argument("--mechanics", choices=("none", "equilibrium"))
+    p.add_argument("--xi-formula", choices=("reference", "trapezoid"))
     p.add_argument("--dtype", choices=("float64", "float32"))
     p.add_argument("--dirichlet-bc", action="store_true")
     p.add_argument("--output-dir", default="output")
@@ -101,6 +103,10 @@ def main(argv=None) -> int:
     cfg = dataclasses.replace(cfg, output=oc)
     if args.physics_mode:
         cfg = dataclasses.replace(cfg, physics_mode=args.physics_mode)
+    if args.mechanics:
+        cfg = dataclasses.replace(cfg, mechanics=args.mechanics)
+    if args.xi_formula:
+        cfg = dataclasses.replace(cfg, xi_formula=args.xi_formula)
     if args.dtype:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
     if args.use_pallas:
