@@ -172,3 +172,24 @@ def test_msh_fuzz_roundtrip(tmp_path):
     write_msh(p, m)
     m2 = read_msh(p, gdim=3)
     np.testing.assert_array_equal(m2.cells, m.cells)
+
+
+def test_cli_json_config_file(tmp_path, capsys):
+    """--config JSON round-trips through the CLI."""
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1),
+        time=TimeConfig(0.0, 0.3, 0.1),
+        solver=SolverConfig(linear_operator="matrix_free"),
+        output=OutputConfig(write_every=0, formats=()),
+    )
+    p = tmp_path / "run.json"
+    p.write_text(cfg.to_json())
+    rc = main(["--config", str(p), "--output-dir", str(tmp_path),
+               "--write-every", "0", "--formats", ""])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_steps"] == 3
