@@ -74,6 +74,13 @@ def run_reference(mesh_path: str):
 
 
 def main():
+    # parity runs are CPU-f64 by design (BASELINE.md: perf is measured in
+    # f32 on TPU, parity at f64); force the CPU backend so the x64 solve is
+    # native rather than TPU-emulated
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
     mesh_path = "mesh1d_parity.msh"
     from fem_glass_tempering_tpu.fem.mshio import create_mesh
 
@@ -83,8 +90,19 @@ def main():
           f"|sigma| L2 = {np.linalg.norm(ours['sigma']):.6e}")
     ref = run_reference(mesh_path)
     if ref is None:
-        print("dolfinx not available — skipped the reference side. Run this "
-              "inside dolfinx/dolfinx:v0.7.3 for the differential check.")
+        print("dolfinx not available — falling back to the independent "
+              "numpy/scipy oracle (validation/oracle_1d.py; run inside "
+              "dolfinx/dolfinx:v0.7.3 for the dolfinx differential).")
+        from fem_glass_tempering_tpu.fem.mesh import read_msh
+        from fem_glass_tempering_tpu.validation.oracle_1d import run_oracle
+
+        nodes = np.sort(read_msh(mesh_path, gdim=1).nodes[:, 0])
+        o = run_oracle(nodes, 500, 0.1)
+        for key in ("T", "Tf"):
+            rel = np.linalg.norm(ours[key] - o[key]) / np.linalg.norm(o[key])
+            print(f"{key}: rel L2 diff vs oracle = {rel:.3e}")
+        rel = np.linalg.norm(ours["sigma"] - o["sigma"]) / np.linalg.norm(o["sigma"])
+        print(f"sigma: rel L2 diff vs oracle = {rel:.3e}")
         return
     # match dof orderings by sorting on coordinates (DG has duplicates —
     # sort pairs (x, value) lexicographically)

@@ -103,6 +103,12 @@ class ThermoViscoProblem:
         self.dtype = dtype or (jnp.float64 if run_cfg.dtype == "float64" else jnp.float32)
         if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
+        # On TPU, default matmul precision downcasts einsum/matmul inputs
+        # (bf16 passes) — in f64 that silently diverges the Newton-CG solve,
+        # in f32 it degrades CG below its rtol. Pin full-precision passes
+        # unless the user set a policy themselves.
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "highest")
 
         # ---- mesh ----
         if mesh is not None:
