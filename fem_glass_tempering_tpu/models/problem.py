@@ -272,8 +272,8 @@ class ThermoViscoProblem:
             from fem_glass_tempering_tpu.ops.spmv import EllMatrix
             ell = EllMatrix(heat)
         elif sc.linear_operator == "stencil":
-            from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
-            ell = StencilMatrix(heat)
+            from fem_glass_tempering_tpu.ops.stencil import make_stencil_operator
+            ell = make_stencil_operator(heat)
         self._ell = ell
 
         def step(state: ViscoState, dt):

@@ -127,3 +127,196 @@ class StencilMatrix:
             return lambda v: jnp.where(
                 mask, v, self.matvec(vals, jnp.where(mask, 0.0, v)))
         return lambda v: self.matvec(vals, v)
+
+
+class DGStencilMatrix:
+    """Gather-free SIPG-DG Jacobian matvec on structured box meshes.
+
+    The reference's *default* temperature element is DG-1
+    (/root/reference/main.py:25) with the SIPG interior-penalty form
+    (/root/reference/ThermoViscoProblem.py:308-326). DG dofs are
+    cell-contiguous (dof = cell*nloc + l), and on a box mesh every
+    interior facet connects lattice-neighbor cells, so the Jacobian is a
+    cell-lattice block stencil:
+
+        (J x)_c = A_c x_c + dt * sum_a [ B+_a x_{c+e_a} + B-_a x_{c-e_a} ]
+
+    - A_c (self block): consistent mass + dt*(stiffness + SIPG self terms)
+      + the per-Newton boundary (radiation/convection) linearization —
+      stored dense per cell, (n_cells, nloc, nloc), streamed from HBM.
+    - B±_a (cross blocks): pure SIPG facet coupling. On a uniform box mesh
+      every facet of a given orientation has identical geometry, so each
+      direction's block is ONE constant (nloc, nloc) matrix; the neighbor
+      contribution is a shifted-grid matmul x_shift @ B.T — MXU/VPU
+      streaming with no gather. (Falls back to per-cell cross blocks if a
+      mesh ever violates translation invariance.)
+
+    The matvec therefore needs NO gather at all: neighbor access is static
+    pad+slice on the (ncx, ncy, ncz, nloc) cell grid, exactly like the
+    CG-1 StencilMatrix above but at cell granularity with block values.
+    """
+
+    def __init__(self, op: HeatOperator):
+        fs = op.fs
+        mesh = fs.mesh
+        if mesh.structured is None or fs.family != "DG":
+            raise ValueError("DGStencilMatrix needs a structured box mesh "
+                             "with a DG space")
+        self.op = op
+        dims = tuple(mesh.structured["dims"])
+        d = len(dims)
+        self.cell_dims = dims
+        nloc = fs.element.nloc
+        C = mesh.n_cells
+        assert int(np.prod(dims)) == C
+        assert fs.n_scalar_dofs == C * nloc
+        self.nloc, self.C, self.d = nloc, C, d
+        p = op.params
+
+        qw = np.asarray(op.qw)
+        phi = np.asarray(op.phi)
+        gphi = np.asarray(op.gphi)
+        self_mass = np.einsum("cq,ql,qm->clm", qw, phi, phi)
+        self_stiff = p.alpha * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
+
+        # ---- SIPG facet blocks (same formulas as EllMatrix / the residual) ----
+        coef = p.alpha * np.asarray(op.i_qw)              # (f, q)
+        php = np.asarray(op.i_phi_p)
+        phm = np.asarray(op.i_phi_m)
+        dnp_ = np.asarray(op.i_dnphi_p)
+        dnm = np.asarray(op.i_dnphi_m)
+        penh = (p.dg_penalty / np.asarray(op.i_h_p))[:, None]
+        Jpp = (np.einsum("fq,fql,fqm->flm", coef * penh, php, php)
+               - 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnp_, php)
+               - 0.5 * np.einsum("fq,fql,fqm->flm", coef, php, dnp_))
+        Jpm = (-np.einsum("fq,fql,fqm->flm", coef * penh, php, phm)
+               + 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnp_, phm)
+               - 0.5 * np.einsum("fq,fql,fqm->flm", coef, php, dnm))
+        Jmp = (-np.einsum("fq,fql,fqm->flm", coef * penh, phm, php)
+               - 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnm, php)
+               + 0.5 * np.einsum("fq,fql,fqm->flm", coef, phm, dnp_))
+        Jmm = (np.einsum("fq,fql,fqm->flm", coef * penh, phm, phm)
+               + 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnm, phm)
+               + 0.5 * np.einsum("fq,fql,fqm->flm", coef, phm, dnm))
+
+        # cell-contiguous dofmap -> facet cell ids and lattice directions
+        cell_p = np.asarray(op.i_dofmap_p)[:, 0] // nloc
+        cell_m = np.asarray(op.i_dofmap_m)[:, 0] // nloc
+        np.add.at(self_stiff, cell_p, Jpp)
+        np.add.at(self_stiff, cell_m, Jmm)
+
+        strides = np.array([int(np.prod(dims[i + 1:])) for i in range(d)])
+
+        def multi(idx):
+            out = []
+            for s in strides:
+                out.append(idx // s)
+                idx = idx % s
+            return np.stack(out, axis=-1)
+
+        delta = multi(cell_m.astype(np.int64)) - multi(cell_p.astype(np.int64))
+        assert np.all(np.abs(delta).sum(axis=-1) == 1), \
+            "interior facet connects non-lattice-neighbor cells"
+        axis_of = np.argmax(np.abs(delta), axis=-1)       # (f,)
+        assert np.all(delta[np.arange(len(delta)), axis_of] == 1), \
+            "'+' cell must be the lower lattice index"
+
+        # per-axis cross blocks; constant on a uniform grid
+        self.cross_const = True
+        Bp, Bm = [], []                      # Bp[a]: x_{c+e_a} block (rows c)
+        self._Bp_cells = self._Bm_cells = None
+        for a in range(d):
+            sel = axis_of == a
+            if not sel.any():                # degenerate axis (dims[a] == 1)
+                Bp.append(np.zeros((nloc, nloc)))
+                Bm.append(np.zeros((nloc, nloc)))
+                continue
+            jp, jm = Jpm[sel], Jmp[sel]
+            scale = max(np.abs(jp).max(), 1e-30)
+            if (np.abs(jp - jp[0]).max() > 1e-10 * scale
+                    or np.abs(jm - jm[0]).max() > 1e-10 * scale):
+                self.cross_const = False
+            Bp.append(jp[0])
+            Bm.append(jm[0])
+        if self.cross_const:
+            self.Bp = [jnp.asarray(b, dtype=op.dtype) for b in Bp]
+            self.Bm = [jnp.asarray(b, dtype=op.dtype) for b in Bm]
+        else:
+            # per-cell cross blocks, zero where no neighbor exists
+            Bp_cells = np.zeros((d, C, nloc, nloc))
+            Bm_cells = np.zeros((d, C, nloc, nloc))
+            for a in range(d):
+                sel = axis_of == a
+                Bp_cells[a, cell_p[sel]] = Jpm[sel]
+                Bm_cells[a, cell_m[sel]] = Jmp[sel]
+            self.Bp_cells = jnp.asarray(Bp_cells, dtype=op.dtype)
+            self.Bm_cells = jnp.asarray(Bm_cells, dtype=op.dtype)
+
+        self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
+        self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
+        # boundary (exterior facet) cells for the per-Newton radiation blocks
+        b_dofmap = np.asarray(op.b_dofmap)
+        self.b_cell = (jnp.asarray(b_dofmap[:, 0] // nloc, dtype=jnp.int32)
+                       if len(b_dofmap) else None)
+        self.n = fs.n_scalar_dofs
+
+    # ------------------------------------------------------------------
+    def values_at(self, T: jnp.ndarray, dt) -> jnp.ndarray:
+        """Self blocks A_c(T) = mass + dt*(stiff+SIPG_self) + dt*B'(T)."""
+        op = self.op
+        p = op.params
+        vals = self.self_mass + dt * self.self_stiff
+        if self.b_cell is not None:
+            Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
+            dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
+            blocks = jnp.einsum("fq,fql,fqm->flm", op.b_qw * dt * dflux,
+                                op.b_phi, op.b_phi)
+            vals = vals.at[self.b_cell].add(blocks)
+        return vals
+
+    def _shift(self, xg, axis, sign):
+        """Neighbor-cell values: x_{c + sign*e_a} with zero past the edge."""
+        pad = [(0, 0)] * xg.ndim
+        if sign > 0:
+            pad[axis] = (0, 1)
+            xp = jnp.pad(xg, pad)
+            return jax.lax.slice_in_dim(xp, 1, xp.shape[axis], axis=axis)
+        pad[axis] = (1, 0)
+        xp = jnp.pad(xg, pad)
+        return jax.lax.slice_in_dim(xp, 0, xp.shape[axis] - 1, axis=axis)
+
+    def matvec(self, vals_self: jnp.ndarray, dt, x: jnp.ndarray) -> jnp.ndarray:
+        nloc = self.nloc
+        xg = x.reshape(self.cell_dims + (nloc,))
+        xc = x.reshape(self.C, nloc)
+        y = jnp.einsum("clm,cm->cl", vals_self, xc).reshape(xg.shape)
+        for a in range(self.d):
+            xp = self._shift(xg, a, +1)
+            xm = self._shift(xg, a, -1)
+            if self.cross_const:
+                y = y + dt * (xp @ self.Bp[a].T) + dt * (xm @ self.Bm[a].T)
+            else:
+                y = y + dt * jnp.einsum(
+                    "clm,cm->cl", self.Bp_cells[a],
+                    xp.reshape(self.C, nloc)).reshape(xg.shape)
+                y = y + dt * jnp.einsum(
+                    "clm,cm->cl", self.Bm_cells[a],
+                    xm.reshape(self.C, nloc)).reshape(xg.shape)
+        return y.reshape(-1)
+
+    def make_matvec(self, T: jnp.ndarray, dt):
+        vals = self.values_at(T, dt)
+        if self.op.has_bc:
+            mask = self.op.bc_mask
+            return lambda v: jnp.where(
+                mask, v, self.matvec(vals, dt, jnp.where(mask, 0.0, v)))
+        return lambda v: self.matvec(vals, dt, v)
+
+
+def make_stencil_operator(op: HeatOperator):
+    """Factory: the gather-free stencil operator matching the operator's
+    space — CG-1 nodal stencil or DG block stencil — on structured box
+    meshes. Raises ValueError when neither applies."""
+    if op.fs.family == "DG":
+        return DGStencilMatrix(op)
+    return StencilMatrix(op)

@@ -125,3 +125,48 @@ def test_stencil_solve_matches_matrix_free():
         sols[lo] = np.asarray(st.T)
     np.testing.assert_allclose(sols["stencil"], sols["matrix_free"],
                                rtol=1e-11)
+
+
+@pytest.mark.parametrize("mesher,deg", [
+    (lambda: box_mesh_2d(5, 4, 1.0, 0.5), 1),
+    (lambda: box_mesh_2d(5, 4, 1.0, 0.5), 2),
+    (lambda: box_mesh_3d(4, 3, 2, 1.0, 1.0, 0.01), 1),
+])
+def test_dg_stencil_matches_jvp(mesher, deg):
+    from fem_glass_tempering_tpu.ops.stencil import DGStencilMatrix
+
+    mesh = mesher()
+    fs = FunctionSpace(mesh, "DG", deg)
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1)
+    st = DGStencilMatrix(op)
+    assert st.cross_const, "uniform box mesh must yield constant cross blocks"
+    rng = np.random.default_rng(3)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    jv = jax.jvp(lambda u: op.residual(u, T_prev, 0.1), (T,), (v,))[1]
+    sv = st.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_dg_stencil_solve_matches_matrix_free():
+    """Coupled DG-1 3D plate run: the gather-free DG block stencil must
+    reproduce the matrix-free Newton-CG solution (the reference's default
+    T element is DG-1, /root/reference/main.py:25)."""
+    mesh = box_mesh_3d(4, 4, 2, 1.0, 1.0, 0.01)
+    sols = {}
+    for lo in ("matrix_free", "stencil"):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="DG", T_degree=1),
+            time=TimeConfig(0.0, 0.3, 0.1),
+            solver=SolverConfig(linear_operator=lo),
+            output=OutputConfig(write_every=0, formats=()),
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        sols[lo] = np.asarray(st.T)
+    np.testing.assert_allclose(sols["stencil"], sols["matrix_free"],
+                               rtol=1e-11)
