@@ -105,9 +105,21 @@ class SolverConfig:
     cg_max_it: int = 1000
     preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
     mg_smoother: str = "jacobi"     # 'jacobi' | 'chebyshev' (GAMG-style)
+    # DG-level smoother for the DG-1 p-multigrid (solver/multigrid.py):
+    # 'auto' picks 'column' (block-tridiagonal line solve along the
+    # strongly coupled axis) on anisotropic plates, 'block' otherwise;
+    # explicit 'jacobi'/'chebyshev'/'block'/'column' override
+    dg_smoother: str = "auto"
     # 'matrix_free' = jvp-of-residual matvec (reassembles each CG iter);
-    # 'assembled' = pre-assembled HBM-resident ELL SpMV (ops/spmv.py)
+    # 'assembled' = pre-assembled HBM-resident ELL SpMV (ops/spmv.py);
+    # 'stencil' = gather-free lattice stencil on structured box meshes
+    # (CG-1 nodal or DG block stencil, ops/stencil.py)
     linear_operator: str = "matrix_free"
+    # gather-free grid-native residual/diagonal/Jacobian-update path for
+    # CG-1 on uniform box meshes (ops/grid.py): 'auto' uses it whenever the
+    # mesh/space qualify, 'on' requires it (raises otherwise), 'off' keeps
+    # the gather/segment_sum assembly
+    grid_native: str = "auto"
     # failure handling (the reference just aborts via assert,
     # ThermoViscoProblem.py:390): 'raise' | 'halve_dt' (retry the failed
     # chunk at dt/2 — same compiled program, dt is a traced scalar)

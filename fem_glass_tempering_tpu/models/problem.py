@@ -168,6 +168,16 @@ class ThermoViscoProblem:
             quad_degree=self.config.fe.quad_degree,
             flux_marker=flux_marker,
         )
+        # gather-free grid-native path (residual + diag + stencil values as
+        # static slice ops — ops/grid.py) when the mesh/space qualify
+        self._grid = None
+        if getattr(sc, "grid_native", "auto") != "off" and flux_marker is None:
+            from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
+            try:
+                self._grid = GridHeatOperator(self.heat)
+            except ValueError:
+                if getattr(sc, "grid_native", "auto") == "on":
+                    raise
         self._mech = None
         if self.config.mechanics == "equilibrium":
             from fem_glass_tempering_tpu.models.mechanics import (
@@ -177,14 +187,18 @@ class ThermoViscoProblem:
                 self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
                 cg_rtol=min(self.config.solver.cg_rtol, 1e-8))
         self._mg = None
+        self._dg_mg = None
         if sc.preconditioner == "mg":
-            if (self.mesh.structured is None or self.fs_T.family != "CG"
-                    or self.fs_T.degree != 1):
+            if (self.mesh.structured is None or self.fs_T.degree != 1
+                    or self.fs_T.family not in ("CG", "DG")):
                 raise ValueError(
                     "preconditioner='mg' needs a structured box mesh with a "
-                    "CG-1 temperature space; use 'jacobi' otherwise")
+                    "CG-1 or DG-1 temperature space; use 'jacobi' otherwise")
             from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
-            from fem_glass_tempering_tpu.solver.multigrid import GeometricMG
+            from fem_glass_tempering_tpu.solver.multigrid import (
+                DGMultigrid,
+                GeometricMG,
+            )
 
             def make_operator(level_mesh):
                 fs = FunctionSpace(level_mesh, "CG", 1)
@@ -193,12 +207,22 @@ class ThermoViscoProblem:
                                     dtype=self.dtype, bc_dofs=bd,
                                     bc_value=bc_val)
 
-            self._mg = GeometricMG(self.mesh, make_operator, dtype=self.dtype,
-                                   smoother=sc.mg_smoother)
             import jax.numpy as _jnp
-            self._mg.freeze_omegas(
-                _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
-                          dtype=self.dtype), self.dt)
+            if self.fs_T.family == "DG":
+                self._dg_mg = DGMultigrid(
+                    self.heat, make_operator, dtype=self.dtype,
+                    smoother=getattr(sc, "dg_smoother", "auto"),
+                    mg_kwargs={"smoother": sc.mg_smoother})
+                self._dg_mg.freeze(
+                    _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
+                              dtype=self.dtype), self.dt)
+            else:
+                self._mg = GeometricMG(self.mesh, make_operator,
+                                       dtype=self.dtype,
+                                       smoother=sc.mg_smoother)
+                self._mg.freeze_omegas(
+                    _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
+                              dtype=self.dtype), self.dt)
         self.state = self.engine.init_state()
         self._build_step()
         if output_dir is not None:
@@ -267,27 +291,40 @@ class ThermoViscoProblem:
 
         mg = self._mg
         mech_fn = self._mech
+        grid = self._grid
+        # the grid-native path subsumes HeatOperator for residual/diag and
+        # StencilMatrix for the Jacobian action
+        hres = grid if grid is not None else heat
         ell = None
         if sc.linear_operator == "assembled":
             from fem_glass_tempering_tpu.ops.spmv import EllMatrix
             ell = EllMatrix(heat)
         elif sc.linear_operator == "stencil":
-            from fem_glass_tempering_tpu.ops.stencil import make_stencil_operator
-            ell = make_stencil_operator(heat)
+            if grid is not None:
+                ell = grid
+            else:
+                from fem_glass_tempering_tpu.ops.stencil import (
+                    make_stencil_operator,
+                )
+                ell = make_stencil_operator(heat)
         self._ell = ell
+
+        dg_mg = self._dg_mg
 
         def step(state: ViscoState, dt):
             precond_fn = None
             if mg is not None:
                 precond_fn = lambda T: mg.preconditioner(
                     mg.linearization_states(T), dt)
+            elif dg_mg is not None:
+                precond_fn = lambda T: dg_mg.preconditioner(T, dt)
             matvec_fn = None
             if ell is not None:
                 matvec_fn = lambda T: ell.make_matvec(T, dt)
             res = newton_solve(
-                lambda T: heat.residual(T, state.T, dt),
+                lambda T: hres.residual(T, state.T, dt),
                 state.T,
-                jac_diag_fn=(lambda T: heat.jacobian_diag(T, dt))
+                jac_diag_fn=(lambda T: hres.jacobian_diag(T, dt))
                 if sc.preconditioner == "jacobi" else None,
                 precond_fn=precond_fn,
                 matvec_fn=matvec_fn,

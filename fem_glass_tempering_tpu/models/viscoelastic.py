@@ -258,9 +258,9 @@ class ViscoelasticEngine:
         else:
             phi = self._phi_of(T_new, state.Tf)       # shift function
             Tf_partial = (
-                self.lambda_m_n[None, :] * state.Tf_partial
-                + (T_new * dt * phi)[:, None]
-            ) / (self.lambda_m_n[None, :] + (dt * phi)[:, None])      # eq. 24
+                self.lambda_m_n * state.Tf_partial
+                + (T_new * dt * phi)[..., None]
+            ) / (self.lambda_m_n + (dt * phi)[..., None])             # eq. 24
             Tf = Tf_partial @ self.m_n                                 # eq. 26
             T_next = 2.0 * T_new - state.T_prev       # linear predictor
             phi_next = self._phi_of(T_next, Tf)
@@ -283,7 +283,7 @@ class ViscoelasticEngine:
         # ---- strain chain (sigma-space points) ----
         dT_s = T_s - T_prev_s
         scalar_th = p.alpha_solid * dT_s + (p.alpha_liquid - p.alpha_solid) * dTf_s
-        thermal_strain = scalar_th[:, None, None] * self.I             # eq. 9
+        thermal_strain = scalar_th[..., None, None] * self.I           # eq. 9
         if mech is None:
             total_strain = -thermal_strain                             # eq. 28
         else:
@@ -296,22 +296,22 @@ class ViscoelasticEngine:
             total_strain = eps_mech - thermal_strain
         tr_tot = jnp.trace(total_strain, axis1=-2, axis2=-1)
         deviatoric_strain = total_strain - (
-            tr_tot[:, None, None] / self.dim
+            tr_tot[..., None, None] / self.dim
         ) * self.I                                                     # eq. 29
 
         # ---- Prony stress updates (tableau axis n broadcast) ----
-        y_g = xi_s[:, None] / self.lambda_g_n[None, :]                 # (nS, 6)
-        y_k = xi_s[:, None] / self.lambda_k_n[None, :]
-        texp_g = self._decay(y_g)[:, :, None, None]
-        texp_k = self._decay(y_k)[:, :, None, None]
+        y_g = xi_s[..., None] / self.lambda_g_n                       # (..., 6)
+        y_k = xi_s[..., None] / self.lambda_k_n
+        texp_g = self._decay(y_g)[..., None, None]
+        texp_k = self._decay(y_k)[..., None, None]
         # eq. 15a+20, singularity-free exact form
-        ds = (2.0 * self.g_n[None, :, None, None]
-              * deviatoric_strain[:, None, :, :]
-              * self._relax_factor(y_g)[:, :, None, None])
+        ds = (2.0 * self.g_n[:, None, None]
+              * deviatoric_strain[..., None, :, :]
+              * self._relax_factor(y_g)[..., None, None])
         # eq. 15b+20
-        dsig = (self.k_n[None, :, None, None]
-                * (tr_tot[:, None, None] * self.I)[:, None, :, :]
-                * self._relax_factor(y_k)[:, :, None, None])
+        dsig = (self.k_n[:, None, None]
+                * (tr_tot[..., None, None] * self.I)[..., None, :, :]
+                * self._relax_factor(y_k)[..., None, None])
         # eq. 16a/b: decay. reference mode decays s_tilde (which stays 0,
         # quirk (b)); corrected mode decays the accumulated partial stress.
         s_decay_src = state.s_tilde if ref else state.s_partial
@@ -322,7 +322,7 @@ class ViscoelasticEngine:
         s_partial = ds + s_tilde
         sigma_partial = dsig + sigma_tilde
         # eq. 18
-        sigma = jnp.sum(s_partial + sigma_partial, axis=1)
+        sigma = jnp.sum(s_partial + sigma_partial, axis=-3)
 
         return ViscoState(
             t=state.t + dt,

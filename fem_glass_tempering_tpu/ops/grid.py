@@ -1,0 +1,304 @@
+"""Fully gather-free heat operator for CG-1 on uniform box meshes.
+
+The stencil operator (ops/stencil.py) removed gathers from the CG *matvec*
+loop; this module removes them from the rest of the Newton iteration — the
+residual, the Jacobi diagonal, and the per-Newton boundary-linearization
+update of the stencil values — so the complete implicit heat solve is
+static pad/slice/elementwise arithmetic on the (nx+1, ny+1, nz+1) node
+grid. That matters twice:
+
+1. single chip: no gather/scatter dispatches per Newton iteration;
+2. SPMD: every op in the solve is local-plus-halo under a sharded node
+   grid, so `jax.jit` with sharded inputs partitions the whole step with
+   XLA collective-permute halos — the TPU-native analog of the reference's
+   domain decomposition (mpiexec path, /root/reference/README.md:62-66)
+   with *no* replicated state (see parallel/grid_shard.py).
+
+Structure: the linear part (consistent mass + alpha-stiffness) rides the
+StencilMatrix values. The nonlinear boundary flux (radiation + convection,
+reference ThermoViscoProblem.py:293-306 with the 0.001 scale) is evaluated
+per box face: on a uniform box every facet of a face has identical
+geometry, so one (q, nloc) basis table + one (q,) weight row covers the
+whole face, facet corner values are static slices of the node grid, and
+the scatter back is a static-slice add.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fem_glass_tempering_tpu.ops.assembly import build_boundary_geometry
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
+
+
+class _Face:
+    __slots__ = ("axis", "side", "qw", "phi", "cell_dims")
+
+    def __init__(self, axis, side, qw, phi, cell_dims):
+        self.axis = axis      # grid axis 0..d-1
+        self.side = side      # 0 = low face, 1 = high face
+        self.qw = qw          # (q,) facet quadrature weights * |detJ|
+        self.phi = phi        # (q, nloc) cell basis on the facet
+        self.cell_dims = cell_dims
+
+
+class GridHeatOperator:
+    """Drop-in replacement for HeatOperator.residual / jacobian_diag plus
+    StencilMatrix.make_matvec, valid for CG-1 spaces on uniform box meshes
+    with the default whole-boundary flux (no flux_marker, no MMS source)."""
+
+    def __init__(self, op: HeatOperator, pad_axis0: int = 0):
+        """`pad_axis0` appends that many ghost node planes along grid axis
+        0, wired as identity rows (residual T - T_0, unit diagonal,
+        identity matvec) — used by the GSPMD path to make the sharded axis
+        divisible by the device count (parallel/grid_shard.py). The flat
+        (n,)-vector API is only available unpadded."""
+        fs = op.fs
+        mesh = fs.mesh
+        if mesh.structured is None or fs.family != "CG" or fs.degree != 1:
+            raise ValueError("GridHeatOperator needs a structured box mesh "
+                             "with a CG-1 space")
+        if op.source_q is not None:
+            raise ValueError("GridHeatOperator does not support MMS sources")
+        self.op = op
+        self.params = op.params
+        self.dtype = op.dtype
+        self.st = StencilMatrix(op)
+        self.pad0 = int(pad_axis0)
+        self.grid = ((self.st.grid[0] + self.pad0,) + self.st.grid[1:]
+                     if self.pad0 else self.st.grid)
+        self.dims = tuple(mesh.structured["dims"])
+        self.d = len(self.dims)
+        self.n = fs.n_scalar_dofs
+        nloc = fs.element.nloc
+        self.nloc = nloc
+
+        bq = 5 * fs.degree
+        bg = build_boundary_geometry(mesh, fs, bq)
+        if len(bg.cell) != len(mesh.boundary_cell):
+            raise ValueError("flux restricted to a facet subset — grid path "
+                             "requires the default whole-boundary flux")
+
+        # group facets by (axis, side) from the outward normal; verify the
+        # uniform-grid invariant (identical tables across each face)
+        normal = bg.normal[:, 0, :]                       # (f, g)
+        axis = np.argmax(np.abs(normal), axis=1)
+        side = (normal[np.arange(len(axis)), axis] > 0).astype(int)
+        cells = bg.cell
+        strides = np.array(
+            [int(np.prod(self.dims[i + 1:])) for i in range(self.d)])
+
+        self.faces: list[_Face] = []
+        for a in range(self.d):
+            for s in (0, 1):
+                sel = (axis == a) & (side == s)
+                if not sel.any():
+                    continue
+                qw = bg.qweights[sel]
+                phi = bg.phi[sel]
+                if (np.abs(qw - qw[0]).max() > 1e-12 * max(qw.max(), 1e-30)
+                        or np.abs(phi - phi[0]).max() > 1e-12):
+                    raise ValueError("non-uniform face tables — mesh is not "
+                                     "a uniform box")
+                # the face layer must contain every cell exactly once
+                layer = cells[sel]
+                ca = (layer // strides[a]) % self.dims[a]
+                expect = 0 if s == 0 else self.dims[a] - 1
+                n_layer = int(np.prod(self.dims)) // self.dims[a]
+                if not (len(layer) == n_layer and np.all(ca == expect)
+                        and len(np.unique(layer)) == n_layer):
+                    raise ValueError("face layer mismatch — mesh is not a "
+                                     "uniform box")
+                cd = tuple(self.dims[i] if i != a else 1
+                           for i in range(self.d))
+                self.faces.append(_Face(
+                    a, s, jnp.asarray(qw[0], dtype=op.dtype),
+                    jnp.asarray(phi[0], dtype=op.dtype), cd))
+
+        # local node l <-> lattice offset bits (builders' tensor-product
+        # vertex order: l = ix + 2*iy + 4*iz)
+        self.loffs = [tuple((l >> i) & 1 for i in range(self.d))
+                      for l in range(nloc)]
+        # significant basis columns per face (off-face corners are zero)
+        self._face_cols = []
+        for fc in self.faces:
+            cols = [l for l in range(nloc)
+                    if float(jnp.abs(fc.phi[:, l]).max()) > 1e-14]
+            self._face_cols.append(cols)
+
+        # stencil value tables (padded with zero coupling on ghost planes)
+        if self.pad0:
+            pc = [(0, 0), (0, self.pad0)] + [(0, 0)] * (self.d - 1)
+            self.vals_mass = jnp.pad(self.st.st_mass, pc)
+            self.vals_stiff = jnp.pad(self.st.st_stiff, pc)
+        else:
+            self.vals_mass = self.st.st_mass
+            self.vals_stiff = self.st.st_stiff
+        self._offsets = self.st.offsets
+
+        # mass row sums M @ 1 (for the constant-source term)
+        ones = jnp.ones(self.grid, dtype=op.dtype)
+        self.M1g = self.matvec_vals(self.vals_mass, ones)
+        self.M1 = self.M1g.reshape(-1) if not self.pad0 else None
+
+        # stencil-offset id for a (l, m) corner pair: StencilMatrix's
+        # lexicographic delta+1 encoding
+        def off_id(lo, mo):
+            o = 0
+            for i in range(self.d):
+                o = o * 3 + (mo[i] - lo[i] + 1)
+            return o
+        self._pair_off = [[off_id(self.loffs[l], self.loffs[m])
+                           for m in range(nloc)] for l in range(nloc)]
+
+        self.bc_mask = op.bc_mask
+        self.bc_values = op.bc_values
+        mask_g = op.bc_mask.reshape(self.st.grid)
+        vals_g = op.bc_values.reshape(self.st.grid)
+        if self.pad0:
+            pc = [(0, self.pad0)] + [(0, 0)] * (self.d - 1)
+            mask_g = jnp.pad(mask_g, pc, constant_values=True)
+            vals_g = jnp.pad(vals_g, pc,
+                             constant_values=float(op.params.T_0))
+        self.bc_mask_g = mask_g
+        self.bc_values_g = vals_g
+        self.has_bc = op.has_bc or self.pad0 > 0
+
+    # ------------------------------------------------------------------
+    def matvec_vals(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
+        """Stencil matvec over the (possibly padded) node grid."""
+        xp = jnp.pad(xg, 1)
+        acc = jnp.zeros(self.grid, dtype=xg.dtype)
+        for o, off in enumerate(self._offsets):
+            start = tuple(int(v) for v in off)
+            limit = tuple(s + g for s, g in zip(start, self.grid))
+            acc = acc + vals[o] * jax.lax.slice(xp, start, limit)
+        return acc
+
+    # ------------------------------------------------------------------
+    def _corner_slices(self, face: _Face, l: int):
+        """Static node-grid slices addressing corner l of every cell in the
+        face's boundary layer."""
+        off = self.loffs[l]
+        idx = []
+        for i in range(self.d):
+            if i == face.axis:
+                base = (0 if face.side == 0 else self.dims[i] - 1) + off[i]
+                idx.append(slice(base, base + 1))
+            else:
+                idx.append(slice(off[i], off[i] + self.dims[i]))
+        return tuple(idx)
+
+    def _face_corners(self, Tg, face: _Face, cols):
+        return jnp.stack(
+            [Tg[self._corner_slices(face, l)] for l in cols], axis=-1)
+
+    # ------------------------------------------------------------------
+    def residual(self, T: jnp.ndarray, T_prev: jnp.ndarray,
+                 dt=None) -> jnp.ndarray:
+        assert self.pad0 == 0, "flat API unavailable on a padded grid"
+        return self.residual_g(T.reshape(self.grid),
+                               T_prev.reshape(self.grid), dt).reshape(-1)
+
+    def residual_g(self, Tg: jnp.ndarray, Tpg: jnp.ndarray,
+                   dt=None) -> jnp.ndarray:
+        """Grid-shaped residual (*grid) -> (*grid): the sharded-step entry
+        point (parallel/grid_shard.py) — no reshapes across the grid."""
+        dt = self.op.dt if dt is None else dt
+        if not self.has_bc:
+            return self._base_residual_g(Tg, Tpg, dt)
+        T_eff = jnp.where(self.bc_mask_g, self.bc_values_g, Tg)
+        r = self._base_residual_g(T_eff, Tpg, dt)
+        return jnp.where(self.bc_mask_g, Tg - self.bc_values_g, r)
+
+    def _base_residual_g(self, Tg, Tpg, dt):
+        p = self.params
+        # M (T - Tp) + dt (alpha K) T - dt f M 1
+        rg = (self.matvec_vals(self.vals_mass + dt * self.vals_stiff, Tg)
+              - self.matvec_vals(self.vals_mass, Tpg)
+              - dt * p.f * self.M1g)
+        for fc, cols in zip(self.faces, self._face_cols):
+            phi = fc.phi[:, cols]                          # (q, lc)
+            corners = self._face_corners(Tg, fc, cols)     # (..., lc)
+            Tb = jnp.einsum("...l,ql->...q", corners, phi)
+            gflux = p.boundary_scale * (
+                (p.sigma * p.epsilon) * (Tb**4 - p.T_ambient**4)
+                + p.htc * (Tb - p.T_ambient))
+            contrib = jnp.einsum("...q,q,ql->...l", gflux, dt * fc.qw, phi)
+            for j, l in enumerate(cols):
+                rg = rg.at[self._corner_slices(fc, l)].add(contrib[..., j])
+        return rg
+
+    # ------------------------------------------------------------------
+    def jacobian_diag(self, T: jnp.ndarray, dt=None) -> jnp.ndarray:
+        assert self.pad0 == 0, "flat API unavailable on a padded grid"
+        return self.jacobian_diag_g(T.reshape(self.grid), dt).reshape(-1)
+
+    def jacobian_diag_g(self, Tg: jnp.ndarray, dt=None) -> jnp.ndarray:
+        p = self.params
+        dt = self.op.dt if dt is None else dt
+        center = (3 ** self.d - 1) // 2
+        d = (self.vals_mass[center] + dt * self.vals_stiff[center])
+        for fc, cols in zip(self.faces, self._face_cols):
+            phi = fc.phi[:, cols]
+            corners = self._face_corners(Tg, fc, cols)
+            Tb = jnp.einsum("...l,ql->...q", corners, phi)
+            dflux = p.boundary_scale * (
+                4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
+            contrib = jnp.einsum("...q,q,ql->...l", dflux, dt * fc.qw,
+                                 phi * phi)
+            for j, l in enumerate(cols):
+                d = d.at[self._corner_slices(fc, l)].add(contrib[..., j])
+        if self.has_bc:
+            d = jnp.where(self.bc_mask_g, 1.0, d)
+        return d
+
+    # ------------------------------------------------------------------
+    def stencil_values(self, T: jnp.ndarray, dt) -> jnp.ndarray:
+        assert self.pad0 == 0, "flat API unavailable on a padded grid"
+        return self.stencil_values_g(T.reshape(self.grid), dt)
+
+    def stencil_values_g(self, Tg: jnp.ndarray, dt) -> jnp.ndarray:
+        """J(T) stencil values with the boundary linearization added by
+        static-slice writes (no scatter)."""
+        p = self.params
+        vals = self.vals_mass + dt * self.vals_stiff       # (n_off, *grid)
+        for fc, cols in zip(self.faces, self._face_cols):
+            phi = fc.phi[:, cols]
+            corners = self._face_corners(Tg, fc, cols)
+            Tb = jnp.einsum("...l,ql->...q", corners, phi)
+            w = (p.boundary_scale
+                 * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
+                 * (dt * fc.qw))                           # (..., q)
+            for jl, l in enumerate(cols):
+                sl = self._corner_slices(fc, l)
+                for jm, m in enumerate(cols):
+                    blk = jnp.einsum("...q,q,q->...", w, phi[:, jl],
+                                     phi[:, jm])
+                    o = self._pair_off[l][m]
+                    vals = vals.at[(o,) + sl].add(blk)
+        return vals
+
+    def make_matvec(self, T: jnp.ndarray, dt):
+        assert self.pad0 == 0, "flat API unavailable on a padded grid"
+        vals = self.stencil_values(T, dt)
+        if self.has_bc:
+            mask = self.bc_mask
+            return lambda v: jnp.where(
+                mask, v,
+                self.matvec_vals(vals, jnp.where(mask, 0.0, v)
+                                 .reshape(self.grid)).reshape(-1))
+        return lambda v: self.matvec_vals(
+            vals, v.reshape(self.grid)).reshape(-1)
+
+    def make_matvec_g(self, Tg: jnp.ndarray, dt):
+        """Grid-shaped Jacobian action for the sharded step."""
+        vals = self.stencil_values_g(Tg, dt)
+        if self.has_bc:
+            mask = self.bc_mask_g
+            return lambda v: jnp.where(
+                mask, v, self.matvec_vals(vals, jnp.where(mask, 0.0, v)))
+        return lambda v: self.matvec_vals(vals, v)

@@ -110,15 +110,20 @@ class StencilMatrix:
             vals = flat[: self.n_off * self.n].reshape(vals.shape)
         return vals
 
-    def matvec(self, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        xg = x.reshape(self.grid)
+    def matvec_g(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
+        """Grid-shaped matvec: (n_off, *grid) values x (*grid) -> (*grid).
+        Pure static pad+slice shifts — under a sharded node grid XLA
+        partitions these as local work + halo collective-permutes."""
         xp = jnp.pad(xg, 1)
-        acc = jnp.zeros(self.grid, dtype=x.dtype)
+        acc = jnp.zeros(self.grid, dtype=xg.dtype)
         for o, off in enumerate(self.offsets):
             start = tuple(int(v) for v in off)
             limit = tuple(s + g for s, g in zip(start, self.grid))
             acc = acc + vals[o] * jax.lax.slice(xp, start, limit)
-        return acc.reshape(-1)
+        return acc
+
+    def matvec(self, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        return self.matvec_g(vals, x.reshape(self.grid)).reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
         vals = self.values_at(T, dt)

@@ -1,0 +1,206 @@
+"""GSPMD domain decomposition: the sharded grid-native coupled step.
+
+The TPU-idiomatic replacement for the reference's `mpiexec -np N` domain
+decomposition (/root/reference/README.md:62-66, partition at
+ThermoViscoProblem.py:27-28, ghost exchange :349-354): every ViscoState
+field is stored GRID-SHAPED — (gx, gy, gz) node grid plus trailing
+tableau/tensor axes — and sharded over a 1D device mesh along grid axis 0
+with `jax.sharding.NamedSharding`. The step is the fully gather-free
+operator chain (ops/grid.py stencils + face-slice flux + the pointwise
+material cascade), so XLA's SPMD partitioner lowers it to
+
+  - local stencil arithmetic per shard,
+  - one-plane halo exchange as collective-permute at the pad/slice shifts
+    (the `scatter_forward` analog, riding ICI),
+  - psum'd dot products in Newton/CG (PETSc's VecDot reduction analog).
+
+Nothing is replicated: dof vectors, material history, and the stencil
+value tables all scale 1/N per device — unlike parallel/sharding.py
+(which distributes assembly only) and without the per-iteration index
+gathers of the explicit shard_map paths (parallel/domain*.py). Validated
+against the single-device step to ~1e-15 on a forced multi-device CPU
+mesh (tests/test_grid_shard.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fem_glass_tempering_tpu.config import RunConfig
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import Mesh as FEMesh
+from fem_glass_tempering_tpu.models.viscoelastic import (
+    ViscoState,
+    ViscoelasticEngine,
+)
+from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.solver.newton import newton_solve
+
+AXIS = "x"
+
+
+class GridShardedProblem:
+    """Coupled thermo-viscoelastic tempering, sharded over a device mesh.
+
+    Requires the flagship configuration: uniform box mesh, CG-1 T space,
+    CG-1 sigma space (same scalar dofs — the cross-space evaluation is the
+    identity, so the material chain is purely pointwise)."""
+
+    def __init__(self, mesh: FEMesh, config: RunConfig, devices=None):
+        fe = config.fe
+        if fe.T_family != "CG" or fe.T_degree != 1:
+            raise ValueError("GridShardedProblem needs a CG-1 T space")
+        if fe.sigma_family != "CG" or fe.sigma_degree != 1:
+            raise ValueError("GridShardedProblem needs a CG-1 sigma space")
+        if mesh.structured is None:
+            raise ValueError("GridShardedProblem needs a structured box mesh")
+        if config.mechanics == "equilibrium":
+            raise ValueError("equilibrium mechanics is not wired into the "
+                             "GSPMD path yet; use ThermoViscoProblem")
+        self.config = config
+        self.mesh = mesh
+        self.dtype = (jnp.float64 if config.dtype == "float64"
+                      else jnp.float32)
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        if jax.config.jax_default_matmul_precision is None:
+            jax.config.update("jax_default_matmul_precision", "highest")
+
+        self.fs_T = FunctionSpace(mesh, "CG", 1)
+        self.fs_sigma = FunctionSpace(mesh, "CG", 1,
+                                      value_shape=(mesh.tdim, mesh.tdim))
+        self.params = config.params
+        self.dt = config.time.dt
+        self.n_steps = config.time.n_steps
+        self.engine = ViscoelasticEngine(
+            self.fs_T, self.fs_sigma, self.params, self.dt,
+            physics_mode=config.physics_mode,
+            shift_function=config.shift_function,
+            xi_formula=config.xi_formula, dtype=self.dtype)
+        assert self.engine.to_sigma.same_space("T"), \
+            "CG-1/CG-1 must share the scalar dofmap"
+        self.heat = HeatOperator(self.fs_T, self.params, self.dt,
+                                 dtype=self.dtype)
+        devices = list(devices if devices is not None else jax.devices())
+        self.dev_mesh = Mesh(np.array(devices), (AXIS,))
+        self.n_devices = len(devices)
+        # pad the sharded node-grid axis up to a device multiple; the ghost
+        # planes are identity rows (GSPMD cannot shard uneven dims)
+        gx = mesh.structured["dims"][0] + 1
+        pad = (-gx) % self.n_devices
+        self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad)
+        self.grid = self.grid_op.grid
+        self.pad0 = pad
+        self._build_shardings()
+        self._build_step()
+
+    # ------------------------------------------------------------------
+    def _to_grid(self, state: ViscoState) -> ViscoState:
+        """Flat dof-vector state -> grid-shaped state, ghost planes padded
+        by edge replication (so the pointwise material chain stays finite
+        there; the heat solve treats them as identity rows)."""
+        base = self.grid_op.st.grid       # unpadded node grid
+
+        def f(name, a):
+            if name == "t":
+                return a
+            g = a.reshape(base + a.shape[1:])
+            if self.pad0:
+                pc = [(0, self.pad0)] + [(0, 0)] * (g.ndim - 1)
+                g = jnp.pad(g, pc, mode="edge")
+            return g
+        return ViscoState(**{k: f(k, getattr(state, k))
+                             for k in ViscoState._fields})
+
+    def _to_flat(self, state: ViscoState) -> ViscoState:
+        def f(name, a):
+            if name == "t":
+                return a
+            if self.pad0:
+                a = a[: a.shape[0] - self.pad0]
+            extra = a.shape[len(self.grid):]
+            return a.reshape((-1,) + extra)
+        return ViscoState(**{k: f(k, getattr(state, k))
+                             for k in ViscoState._fields})
+
+    def _build_shardings(self) -> None:
+        shard = NamedSharding(self.dev_mesh, P(AXIS))
+        rep = NamedSharding(self.dev_mesh, P())
+        proto = self._to_grid(self.engine.init_state())
+        self._state_shardings = ViscoState(**{
+            k: (rep if k == "t" else shard) for k in ViscoState._fields})
+        self._proto = proto
+
+    def init_state(self) -> ViscoState:
+        """Initial state, grid-shaped, sharded across the mesh. Built
+        inside jit (out_shardings) so uneven plane counts are padded by
+        GSPMD — device_put would require divisibility."""
+        make = jax.jit(lambda: self._to_grid(self.engine.init_state()),
+                       out_shardings=self._state_shardings)
+        return make()
+
+    # ------------------------------------------------------------------
+    def _build_step(self) -> None:
+        g = self.grid_op
+        engine = self.engine
+        sc = self.config.solver
+        default_dt = self.dt
+        ident = lambda name, arr: arr    # CG-1/CG-1: cross-eval is identity
+
+        def step(state: ViscoState, dt):
+            res = newton_solve(
+                lambda T: g.residual_g(T, state.T, dt), state.T,
+                jac_diag_fn=lambda T: g.jacobian_diag_g(T, dt),
+                precond_fn=None,
+                matvec_fn=lambda T: g.make_matvec_g(T, dt),
+                rtol=sc.newton_rtol, atol=sc.newton_atol,
+                max_it=sc.newton_max_it, cg_rtol=sc.cg_rtol,
+                cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
+            )
+            new_state = engine.material_step_with(state, res.x, ident, dt)
+            finite = jnp.isfinite(res.x).all()
+            return new_state, res.converged & finite, res.iters, res.krylov_iters
+
+        ss = self._state_shardings
+        rep = NamedSharding(self.dev_mesh, P())
+        self._step_jit = jax.jit(
+            lambda state, dt=default_dt: step(state, dt),
+            in_shardings=(ss,), out_shardings=(ss, rep, rep, rep),
+            donate_argnums=0)
+
+        def multi_step(state: ViscoState, n: int, dt):
+            def body(_, carry):
+                st, ok, ni, ki = carry
+                st2, conv, it, kit = step(st, dt)
+                return st2, ok & conv, ni + it, ki + kit
+            return jax.lax.fori_loop(
+                0, n, body,
+                (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)))
+
+        self._multi_step_jit = jax.jit(
+            lambda state, n, dt=default_dt: multi_step(state, n, dt),
+            static_argnums=1,
+            in_shardings=(ss,), out_shardings=(ss, rep, rep, rep),
+            donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def step(self, state: ViscoState):
+        state, ok, ni, ki = self._step_jit(state)
+        return state, bool(ok), int(ni), int(ki)
+
+    def run(self, state: ViscoState, n_steps: int | None = None):
+        n = n_steps if n_steps is not None else self.n_steps
+        state, ok, ni, ki = self._multi_step_jit(state, n)
+        return state, bool(ok), int(ni), int(ki)
+
+    def gather_state(self, state: ViscoState) -> ViscoState:
+        """Device-sharded grid state -> host flat-layout ViscoState for the
+        shared writers / checkpointing."""
+        host = jax.device_get(state)
+        return self._to_flat(host)

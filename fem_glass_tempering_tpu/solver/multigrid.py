@@ -314,3 +314,222 @@ class GeometricMG:
             inj[par[fine_ids, slot]] = fine_ids
             lvl._inj = jnp.asarray(inj)
         return xf[lvl._inj]
+
+
+class DGMultigrid:
+    """p-multigrid preconditioner for SIPG DG-1 on structured box meshes.
+
+    The reference runs its DG heat solve under PETSc GAMG
+    (/root/reference/ThermoViscoProblem.py:344 with the DG-1 default of
+    main.py:25). The TPU-native analog: smooth on the DG level (Chebyshev
+    over D^{-1}A with the gather-free DG block stencil matvec), then
+    correct through the CG-1 nodal space on the SAME mesh and recurse into
+    the geometric hierarchy (GeometricMG above).
+
+    The p-transfer is exact Galerkin: the prolongation P maps CG nodal
+    values to DG cell-local dofs (DG-1 nodes are the cell vertices, so
+    P x is a continuous bilinear field whose jumps vanish), hence
+    P^T A_dg P equals the rediscretized CG-1 operator for the mass,
+    stiffness and boundary terms — the coarse problem GeometricMG solves.
+    """
+
+    def __init__(self, dg_op, make_cg_operator, *, nu: int = 1,
+                 smoother: str = "auto", dtype=jnp.float64,
+                 mg_kwargs: dict | None = None):
+        fs = dg_op.fs
+        mesh = fs.mesh
+        if fs.family != "DG" or fs.degree != 1:
+            raise ValueError("DGMultigrid needs a DG-1 space (p-transfer "
+                             "to CG-1 is vertex-based)")
+        if mesh.structured is None:
+            raise ValueError("DGMultigrid needs a structured box mesh")
+        from fem_glass_tempering_tpu.ops.stencil import DGStencilMatrix
+
+        self.dg_op = dg_op
+        self.stencil = DGStencilMatrix(dg_op)
+        self.nu = nu
+        dims = tuple(mesh.structured["dims"])
+        lengths = tuple(mesh.structured["lengths"])
+        h = [ln / dd for ln, dd in zip(lengths, dims)]
+        if smoother == "auto":
+            # anisotropic plates (the 3D tempering north-star is ~50:1):
+            # point/cell-block smoothers cannot damp jump modes along the
+            # strongly coupled (small-h) axis — a line (column) solver
+            # along that axis restores mesh-robust V-cycles (measured:
+            # 13322 Jacobi-CG iters -> 90 with the column smoother on the
+            # 16x16x8 plate at rtol 1e-12)
+            smoother = ("column" if (len(dims) >= 2 and max(h) / min(h) > 3.0
+                                     and self.stencil.cross_const)
+                        else "block")
+        if smoother not in ("jacobi", "chebyshev", "block", "column"):
+            raise ValueError(smoother)
+        if smoother == "column" and not self.stencil.cross_const:
+            raise ValueError("column smoother needs constant cross blocks")
+        self.smoother = smoother
+        self.col_axis = int(np.argmin(h)) if smoother == "column" else None
+        self.dtype = dtype
+        # DG-1 local nodes are the cell vertices in the builders' order,
+        # and the DG dofmap is arange(C*nloc), so cells.ravel() IS the
+        # CG-node id of each DG dof.
+        self.cells_flat = jnp.asarray(mesh.cells.reshape(-1), dtype=jnp.int32)
+        self.n_nodes = mesh.n_nodes
+        counts = np.bincount(mesh.cells.reshape(-1), minlength=mesh.n_nodes)
+        self.inv_counts = jnp.asarray(1.0 / counts, dtype=dtype)
+        self.cg_mg = GeometricMG(mesh, make_cg_operator, dtype=dtype,
+                                 **(mg_kwargs or {}))
+        self._frozen_rho = None
+
+    # ---- p-transfers -------------------------------------------------
+    def prolong(self, x_cg):
+        return x_cg[self.cells_flat]
+
+    def restrict(self, r_dg):
+        return jax.ops.segment_sum(r_dg, self.cells_flat,
+                                   num_segments=self.n_nodes)
+
+    def restrict_state(self, T_dg):
+        """Vertex-averaged CG representation of a DG iterate — the
+        linearization state for the coarse hierarchy."""
+        return self.restrict(T_dg) * self.inv_counts
+
+    # ---- block/line solvers -------------------------------------------
+    def _make_zsolve(self, T_dg, dt):
+        """The smoother's approximate solve z ~ A^{-1} r:
+        'jacobi'/'chebyshev' -> pointwise diagonal; 'block' -> exact
+        per-cell (nloc x nloc) self-block solve; 'column' -> exact
+        block-tridiagonal solve of every cell column along the strongly
+        coupled axis (batched Thomas factorization — MXU-shaped 8x8
+        matmuls, no gathers)."""
+        if self.smoother in ("jacobi", "chebyshev"):
+            diag = self.dg_op.jacobian_diag(T_dg, dt)
+            return lambda r: r / diag
+        vals_self = self.stencil.values_at(T_dg, dt)      # (C, nloc, nloc)
+        if self.smoother == "block":
+            inv_self = jnp.linalg.inv(vals_self)
+            C, nloc = self.stencil.C, self.stencil.nloc
+            return lambda r: jnp.einsum(
+                "clm,cm->cl", inv_self, r.reshape(C, nloc)).reshape(-1)
+        return self._column_solver(vals_self, dt)
+
+    def _column_solver(self, vals_self, dt):
+        st = self.stencil
+        a = self.col_axis
+        dims = st.cell_dims
+        d = len(dims)
+        nloc = st.nloc
+        nzc = dims[a]
+        ncol = st.C // nzc
+        Bp = st.Bp[a] * dt                                # k -> k+1 coupling
+        Bm = st.Bm[a] * dt                                # k -> k-1 coupling
+
+        perm = tuple(i for i in range(d) if i != a) + (a,)
+        inv_perm = tuple(np.argsort(perm + (d, )))[:d]    # for cell axes
+
+        A = vals_self.reshape(dims + (nloc, nloc))
+        A = jnp.transpose(A, perm + (d, d + 1)).reshape(ncol, nzc, nloc, nloc)
+
+        # block-Thomas factorization: D'_0 = A_0;
+        # L_k = Bm D'_{k-1}^{-1}, D'_k = A_k - L_k Bp
+        invD = [jnp.linalg.inv(A[:, 0])]
+        Ls = []
+        for k in range(1, nzc):
+            Lk = jnp.einsum("lm,cmk->clk", Bm, invD[-1])
+            Dk = A[:, k] - jnp.einsum("clk,km->clm", Lk, Bp)
+            invD.append(jnp.linalg.inv(Dk))
+            Ls.append(Lk)
+
+        def solve(r):
+            rg = r.reshape(dims + (nloc,))
+            rg = jnp.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
+            y = [rg[:, 0]]
+            for k in range(1, nzc):
+                y.append(rg[:, k] - jnp.einsum("clk,ck->cl", Ls[k - 1], y[-1]))
+            x = [None] * nzc
+            x[-1] = jnp.einsum("clm,cm->cl", invD[-1], y[-1])
+            for k in range(nzc - 2, -1, -1):
+                x[k] = jnp.einsum("clm,cm->cl", invD[k],
+                                  y[k] - x[k + 1] @ Bp.T)
+            xg = jnp.stack(x, axis=1)                     # (ncol, nzc, nloc)
+            shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+            xg = xg.reshape(shape_perm)
+            xg = jnp.transpose(xg, inv_perm + (d,))
+            return xg.reshape(-1)
+
+        return solve
+
+    # ---- setup -------------------------------------------------------
+    def freeze(self, T_dg0, dt) -> None:
+        """Build the smoother solve ONCE at the initial state, estimate
+        rho(Z^{-1}A) by power iteration, and freeze both (plus the coarse
+        hierarchy's smoother spectra) as static constants — same rationale
+        as GeometricMG.freeze_omegas: only the small boundary
+        linearization moves with T, and a frozen SPD smoother is still a
+        valid preconditioner."""
+        T_dg0 = jnp.asarray(T_dg0, dtype=self.dtype)
+        zsolve = self._make_zsolve(T_dg0, dt)
+        mv = self.stencil.make_matvec(T_dg0, dt)
+        n = T_dg0.shape[0]
+        v = jnp.sin(jnp.arange(n, dtype=self.dtype) * 0.7) + 0.01
+        rho = 1.0
+        for _ in range(12):
+            w = zsolve(mv(v))
+            rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
+            v = w / jnp.linalg.norm(w)
+        self._frozen_rho = rho * 1.05
+        self._frozen_zsolve = zsolve
+        self.cg_mg.freeze_omegas(self.restrict_state(T_dg0), dt)
+
+    # ---- apply -------------------------------------------------------
+    def preconditioner(self, T_dg, dt):
+        mv = self.stencil.make_matvec(T_dg, dt)
+        T_cg = self.restrict_state(T_dg)
+        inner = self.cg_mg.preconditioner(
+            self.cg_mg.linearization_states(T_cg), dt)
+        zsolve = getattr(self, "_frozen_zsolve", None)
+        rho = self._frozen_rho
+        if zsolve is None:
+            zsolve = self._make_zsolve(T_dg, dt)
+        if rho is None:
+            v = jnp.sin(jnp.arange(T_dg.shape[0], dtype=T_dg.dtype) * 0.7) + 0.01
+            r = jnp.asarray(1.0, T_dg.dtype)
+            for _ in range(10):
+                w = zsolve(mv(v))
+                r = jnp.linalg.norm(w) / jnp.linalg.norm(v)
+                v = w / jnp.linalg.norm(w)
+            rho = r * 1.05
+
+        nu = self.nu
+
+        def smooth(x, b):
+            # Chebyshev acceleration of the zsolve over [rho/4, rho]
+            # ('jacobi' mode: single damped sweep)
+            if self.smoother == "jacobi":
+                omega = 4.0 / (3.0 * rho)
+                for _ in range(nu):
+                    x = x + omega * zsolve(b - mv(x))
+                return x
+            lmax = rho
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho_k = 1.0 / sigma
+            z = zsolve(b - mv(x))
+            p = z / theta
+            x = x + p
+            for _ in range(max(nu - 1, 0)):
+                z = zsolve(b - mv(x))
+                rho_next = 1.0 / (2.0 * sigma - rho_k)
+                p = rho_next * rho_k * p + (2.0 * rho_next / delta) * z
+                x = x + p
+                rho_k = rho_next
+            return x
+
+        def apply(r):
+            x = smooth(jnp.zeros_like(r), r)
+            rr = r - mv(x)
+            xc = inner(self.restrict(rr))
+            x = x + self.prolong(xc)
+            return smooth(x, r)
+
+        return apply

@@ -105,3 +105,35 @@ def test_mg_chebyshev_smoother():
     T_c, it_c = solve("chebyshev")
     np.testing.assert_allclose(T_c, T_j, rtol=1e-9, atol=1e-7)
     assert it_c <= it_j * 1.5, (it_c, it_j)
+
+
+def test_dg_pmg_iteration_cut_and_parity():
+    """DG-1 p-multigrid (column-smoothed) vs Jacobi on the anisotropic
+    plate at the reference's tolerance (rtol 1e-12): large iteration cut,
+    identical solutions. The reference runs its DG default under GAMG
+    (ThermoViscoProblem.py:344)."""
+    import numpy as np
+
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+
+    mesh = box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    res = {}
+    for pc in ("jacobi", "mg"):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="DG", T_degree=1),
+            time=TimeConfig(0.0, 0.2, 0.1),
+            solver=SolverConfig(preconditioner=pc, linear_operator="stencil",
+                                cg_max_it=50000),
+            output=OutputConfig(write_every=0, formats=()),
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        res[pc] = (np.asarray(st.T), prob.diagnostics.krylov_iters)
+    np.testing.assert_allclose(res["mg"][0], res["jacobi"][0], rtol=1e-11)
+    cut = res["jacobi"][1] / max(res["mg"][1], 1)
+    assert cut > 8.0, f"DG p-MG iteration cut only {cut:.1f}x"
