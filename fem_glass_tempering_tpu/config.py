@@ -120,6 +120,11 @@ class SolverConfig:
     # mesh/space qualify, 'on' requires it (raises otherwise), 'off' keeps
     # the gather/segment_sum assembly
     grid_native: str = "auto"
+    # 'float32' with dtype='float64' runs the inner CG (matvec +
+    # preconditioner) in f32 while residuals and the Newton incremental
+    # test stay f64 — mixed-precision inexact Newton. TPUs have no native
+    # f64; this recovers rtol-1e-12 Newton accuracy at f32 Krylov speed.
+    cg_dtype: str = "same"          # 'same' | 'float32'
     # failure handling (the reference just aborts via assert,
     # ThermoViscoProblem.py:390): 'raise' | 'halve_dt' (retry the failed
     # chunk at dt/2 — same compiled program, dt is a traced scalar)
@@ -167,6 +172,10 @@ class RunConfig:
     # (negative while cooling — no true relaxation; SURVEY.md §Quirks 4);
     # 'trapezoid': the physical dt/2 (phi_next + phi)
     xi_formula: str = "reference"
+    # 'reference': the reference's non-dimensionalized heat form (mass 1,
+    # diffusion alpha — rho/cp/k created but unused, SURVEY.md Quirks 6);
+    # 'physical': the dimensional rho*cp / k equation (models/thermal.py)
+    heat_form: str = "reference"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
     # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)

@@ -162,11 +162,12 @@ class ThermoViscoProblem:
         if dirichlet_bc:
             bc_dofs = self.fs_T.boundary_scalar_dofs()
             bc_val = self.params.T_ambient
+        heat_form = getattr(self.config, "heat_form", "reference")
         self.heat = HeatOperator(
             self.fs_T, self.params, self.dt, dtype=self.dtype,
             bc_dofs=bc_dofs, bc_value=bc_val,
             quad_degree=self.config.fe.quad_degree,
-            flux_marker=flux_marker,
+            flux_marker=flux_marker, form=heat_form,
         )
         # gather-free grid-native path (residual + diag + stencil values as
         # static slice ops — ops/grid.py) when the mesh/space qualify
@@ -205,7 +206,7 @@ class ThermoViscoProblem:
                 bd = fs.boundary_scalar_dofs() if dirichlet_bc else None
                 return HeatOperator(fs, self.params, self.dt,
                                     dtype=self.dtype, bc_dofs=bd,
-                                    bc_value=bc_val)
+                                    bc_value=bc_val, form=heat_form)
 
             import jax.numpy as _jnp
             if self.fs_T.family == "DG":
@@ -223,6 +224,69 @@ class ThermoViscoProblem:
                 self._mg.freeze_omegas(
                     _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
                               dtype=self.dtype), self.dt)
+        # mixed-precision twins: f32 operator tables for the inner CG when
+        # cg_dtype='float32' under an f64 outer solve (TPUs have no native
+        # f64 — the Krylov loop is the hot path, the f64 residual and the
+        # incremental test keep Newton at reference accuracy, rtol 1e-12
+        # per ThermoViscoProblem.py:336)
+        self._mixed = (getattr(sc, "cg_dtype", "same") == "float32"
+                       and self.dtype == jnp.float64)
+        self._heat32 = self._grid32 = self._mg32 = self._dg_mg32 = None
+        if self._mixed:
+            f32 = jnp.float32
+            self._heat32 = HeatOperator(
+                self.fs_T, self.params, self.dt, dtype=f32,
+                bc_dofs=bc_dofs, bc_value=bc_val,
+                quad_degree=self.config.fe.quad_degree,
+                flux_marker=flux_marker, form=heat_form)
+            if self._grid is not None:
+                from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
+                self._grid32 = GridHeatOperator(self._heat32)
+            if sc.preconditioner == "mg":
+                from fem_glass_tempering_tpu.fem.functionspace import (
+                    FunctionSpace,
+                )
+                from fem_glass_tempering_tpu.solver.multigrid import (
+                    DGMultigrid,
+                    GeometricMG,
+                )
+
+                def make_operator32(level_mesh):
+                    fsl = FunctionSpace(level_mesh, "CG", 1)
+                    bd = fsl.boundary_scalar_dofs() if dirichlet_bc else None
+                    return HeatOperator(fsl, self.params, self.dt, dtype=f32,
+                                        bc_dofs=bd, bc_value=bc_val,
+                                        form=heat_form)
+
+                T0 = jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
+                              dtype=f32)
+                if self.fs_T.family == "DG":
+                    self._dg_mg32 = DGMultigrid(
+                        self._heat32, make_operator32, dtype=f32,
+                        smoother=getattr(sc, "dg_smoother", "auto"),
+                        mg_kwargs={"smoother": sc.mg_smoother})
+                    self._dg_mg32.freeze(T0, self.dt)
+                else:
+                    self._mg32 = GeometricMG(self.mesh, make_operator32,
+                                             dtype=f32,
+                                             smoother=sc.mg_smoother)
+                    self._mg32.freeze_omegas(T0, self.dt)
+        # smoothed-aggregation AMG (solver/amg.py): the mesh-agnostic GAMG
+        # stand-in for unstructured meshes; hierarchy frozen at (T_0, dt)
+        self._amg = self._amg32 = None
+        if sc.preconditioner == "amg":
+            from fem_glass_tempering_tpu.ops.spmv import EllMatrix
+            from fem_glass_tempering_tpu.solver.amg import (
+                SmoothedAggregationMG,
+            )
+            T0v = jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
+                           dtype=self.dtype)
+            self._amg = SmoothedAggregationMG(
+                EllMatrix(self.heat), T0v, self.dt, dtype=self.dtype)
+            if self._mixed:
+                self._amg32 = SmoothedAggregationMG(
+                    EllMatrix(self._heat32), T0v.astype(jnp.float32),
+                    self.dt, dtype=jnp.float32)
         self.state = self.engine.init_state()
         self._build_step()
         if output_dir is not None:
@@ -310,51 +374,131 @@ class ThermoViscoProblem:
         self._ell = ell
 
         dg_mg = self._dg_mg
+        amg = getattr(self, "_amg", None)
+        amg32 = getattr(self, "_amg32", None)
+
+        # mixed precision: f32 operator twins for the inner CG
+        mixed = self._mixed
+        ell32 = None
+        if mixed:
+            if sc.linear_operator == "stencil":
+                if self._grid32 is not None:
+                    ell32 = self._grid32
+                else:
+                    from fem_glass_tempering_tpu.ops.stencil import (
+                        make_stencil_operator,
+                    )
+                    ell32 = make_stencil_operator(self._heat32)
+            elif sc.linear_operator == "assembled":
+                from fem_glass_tempering_tpu.ops.spmv import EllMatrix
+                ell32 = EllMatrix(self._heat32)
+        heat32 = self._heat32
+        hres32 = self._grid32 if self._grid32 is not None else heat32
+        mg32, dg_mg32 = self._mg32, self._dg_mg32
+        f32 = jnp.float32
+        # the effective f32 CG tolerance: tighter than ~1e-6 is not
+        # representable in f32 residual norms
+        cg_rtol32 = max(sc.cg_rtol, 1e-6)
 
         def step(state: ViscoState, dt):
             precond_fn = None
-            if mg is not None:
-                precond_fn = lambda T: mg.preconditioner(
-                    mg.linearization_states(T), dt)
-            elif dg_mg is not None:
-                precond_fn = lambda T: dg_mg.preconditioner(T, dt)
             matvec_fn = None
-            if ell is not None:
-                matvec_fn = lambda T: ell.make_matvec(T, dt)
+            diag_fn = None
+            if mixed:
+                dt32 = jnp.asarray(dt, f32)
+                cast = lambda T: T.astype(f32)
+                if mg32 is not None:
+                    precond_fn = lambda T: mg32.preconditioner(
+                        mg32.linearization_states(cast(T)), dt32)
+                elif dg_mg32 is not None:
+                    precond_fn = lambda T: dg_mg32.preconditioner(
+                        cast(T), dt32)
+                elif amg32 is not None:
+                    precond_fn = lambda T: amg32.preconditioner()
+                if ell32 is not None:
+                    matvec_fn = lambda T: ell32.make_matvec(cast(T), dt32)
+                else:
+                    # matrix-free: jvp of the f32 residual at the cast iterate
+                    Tp32 = cast(state.T)
+
+                    def matvec_fn(T):
+                        T32 = cast(T)
+                        return lambda v: jax.jvp(
+                            lambda u: heat32.residual(u, Tp32, dt32),
+                            (T32,), (v,))[1]
+                if sc.preconditioner == "jacobi":
+                    diag_fn = lambda T: hres32.jacobian_diag(cast(T), dt32)
+            else:
+                if mg is not None:
+                    precond_fn = lambda T: mg.preconditioner(
+                        mg.linearization_states(T), dt)
+                elif dg_mg is not None:
+                    precond_fn = lambda T: dg_mg.preconditioner(T, dt)
+                elif amg is not None:
+                    precond_fn = lambda T: amg.preconditioner()
+                if ell is not None:
+                    matvec_fn = lambda T: ell.make_matvec(T, dt)
+                if sc.preconditioner == "jacobi":
+                    diag_fn = lambda T: hres.jacobian_diag(T, dt)
             res = newton_solve(
                 lambda T: hres.residual(T, state.T, dt),
                 state.T,
-                jac_diag_fn=(lambda T: hres.jacobian_diag(T, dt))
-                if sc.preconditioner == "jacobi" else None,
+                jac_diag_fn=diag_fn,
                 precond_fn=precond_fn,
                 matvec_fn=matvec_fn,
                 rtol=sc.newton_rtol, atol=sc.newton_atol, max_it=sc.newton_max_it,
-                cg_rtol=sc.cg_rtol, cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
+                cg_rtol=cg_rtol32 if mixed else sc.cg_rtol,
+                cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
+                cg_cast=f32 if mixed else None,
             )
             new_state = engine.material_step(state, res.x, dt, mech=mech_fn)
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 
         self._step_fn = step
-        self._step_jit = jax.jit(
-            lambda state, dt=default_dt: step(state, dt), donate_argnums=0)
 
-        def multi_step(state: ViscoState, n: int, dt):
-            def body(_, carry):
-                st, ok, ni, ki = carry
-                st2, conv, it, kit = step(st, dt)
-                return st2, ok & conv, ni + it, ki + kit
-            return jax.lax.fori_loop(
-                0, n,
-                body,
-                (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)),
-            )
+        # operator tables ride as jit ARGUMENTS (utils/jitargs.py): baked
+        # closure constants would bloat the serialized HLO past what the
+        # remote-compile path accepts (~30 MB, measured HTTP 413) and
+        # scale with the mesh; as arguments they are device-resident
+        # parameters with zero per-call cost.
+        from fem_glass_tempering_tpu.utils.jitargs import TableBundle
+        bundle = TableBundle()
+        for obj in (grid, heat, ell, mg, dg_mg, amg, amg32, self._grid32,
+                    self._heat32, self._mg32, self._dg_mg32, ell32, engine):
+            bundle.register_operator(obj)
+        self._bundle = bundle
 
-        self._multi_step_raw = multi_step
-        self._multi_step_dt = jax.jit(multi_step, static_argnums=1)
-        self._multi_step_jit = jax.jit(
-            lambda state, n: multi_step(state, n, default_dt),
-            static_argnums=1, donate_argnums=0)
+        def step_outer(state, dt, tbl):
+            with bundle.bound(tbl):
+                return step(state, dt)
+
+        _step_c = jax.jit(step_outer, donate_argnums=0)
+        self._step_jit = lambda state, dt=default_dt: _step_c(
+            state, dt, bundle.collect())
+
+        def multi_step(state: ViscoState, n: int, dt, tbl):
+            with bundle.bound(tbl):
+                def body(_, carry):
+                    st, ok, ni, ki = carry
+                    st2, conv, it, kit = step(st, dt)
+                    return st2, ok & conv, ni + it, ki + kit
+                return jax.lax.fori_loop(
+                    0, n,
+                    body,
+                    (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)),
+                )
+
+        self._multi_step_inner = multi_step   # (state, n, dt, tbl) traced form
+        self._multi_step_raw = lambda state, n, dt: multi_step(
+            state, n, dt, bundle.collect())
+        _ms_dt = jax.jit(multi_step, static_argnums=1)
+        self._multi_step_dt = lambda state, n, dt: _ms_dt(
+            state, n, dt, bundle.collect())
+        _ms = jax.jit(lambda state, n, tbl: multi_step(state, n, default_dt, tbl),
+                      static_argnums=1, donate_argnums=0)
+        self._multi_step_jit = lambda state, n: _ms(
+            state, n, bundle.collect())
 
     # ------------------------------------------------------------------
     def solve_timestep(self, check_convergence: bool = True) -> ViscoState:
@@ -431,21 +575,22 @@ class ThermoViscoProblem:
         chunk = we if we and we > 0 else self.n_steps
         n_chunks = self.n_steps // chunk
         rem = self.n_steps - n_chunks * chunk
-        ms = self._multi_step_raw
+        ms = self._multi_step_inner
         dtv = self.dt
 
-        def body(carry, _):
-            st, ok_all = carry
-            st, ok, ni, ki = ms(st, chunk, dtv)
-            outs = tuple(getattr(st, f) for f in fields)
-            return (st, ok_all & ok), (st.t, outs, ni, ki)
+        def run(state, tbl):
+            def body(carry, _):
+                st, ok_all = carry
+                st, ok, ni, ki = ms(st, chunk, dtv, tbl)
+                outs = tuple(getattr(st, f) for f in fields)
+                return (st, ok_all & ok), (st.t, outs, ni, ki)
 
-        def run(state):
             (st, ok), (ts, outs, ni, ki) = jax.lax.scan(
                 body, (state, jnp.bool_(True)), None, length=n_chunks)
             return st, ok, ts, outs, ni, ki
 
-        st, ok, ts, outs, ni, ki = jax.jit(run, donate_argnums=0)(self.state)
+        st, ok, ts, outs, ni, ki = jax.jit(run, donate_argnums=0)(
+            self.state, self._bundle.collect())
         if rem:
             st, ok2, ni2, ki2 = self._multi_step_dt(st, rem, dtv)
             ok = ok & ok2

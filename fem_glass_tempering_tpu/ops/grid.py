@@ -178,6 +178,25 @@ class GridHeatOperator:
             acc = acc + vals[o] * jax.lax.slice(xp, start, limit)
         return acc
 
+    def matvec_diff(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
+        """Difference-form stencil matvec for zero-row-sum operators
+        (pure stiffness): sum_o vals[o] * (x_{i+o} - x_i), skipping the
+        center (its value is exactly minus the sum of the others). Unlike
+        the plain form this annihilates constant fields EXACTLY in
+        floating point — applying K to raw ~800 K temperatures in f32
+        otherwise leaves a systematic row-sum bias that shifts the
+        computed equilibrium and destabilizes Newton (measured)."""
+        xp = jnp.pad(xg, 1)
+        center = (3 ** self.d - 1) // 2
+        acc = jnp.zeros(self.grid, dtype=xg.dtype)
+        for o, off in enumerate(self._offsets):
+            if o == center:
+                continue
+            start = tuple(int(v) for v in off)
+            limit = tuple(s + g for s, g in zip(start, self.grid))
+            acc = acc + vals[o] * (jax.lax.slice(xp, start, limit) - xg)
+        return acc
+
     # ------------------------------------------------------------------
     def _corner_slices(self, face: _Face, l: int):
         """Static node-grid slices addressing corner l of every cell in the
@@ -216,9 +235,12 @@ class GridHeatOperator:
 
     def _base_residual_g(self, Tg, Tpg, dt):
         p = self.params
-        # M (T - Tp) + dt (alpha K) T - dt f M 1
-        rg = (self.matvec_vals(self.vals_mass + dt * self.vals_stiff, Tg)
-              - self.matvec_vals(self.vals_mass, Tpg)
+        # M (T - Tp) + dt (alpha K) T - dt f M 1, arranged for f32 health:
+        # the mass acts on the small per-step difference, and the
+        # stiffness in difference form (see matvec_diff) so constants are
+        # annihilated exactly — no ~800 K cancellation, no row-sum bias.
+        rg = (self.matvec_vals(self.vals_mass, Tg - Tpg)
+              + dt * self.matvec_diff(self.vals_stiff, Tg)
               - dt * p.f * self.M1g)
         for fc, cols in zip(self.faces, self._face_cols):
             phi = fc.phi[:, cols]                          # (q, lc)

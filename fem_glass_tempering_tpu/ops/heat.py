@@ -43,11 +43,20 @@ class HeatOperator:
                  dtype=jnp.float64, quad_degree: int | None = None,
                  bc_dofs: np.ndarray | None = None, bc_value: float | None = None,
                  source: np.ndarray | None = None,
-                 flux_marker=None):
+                 flux_marker=None, form: str = "reference"):
+        from fem_glass_tempering_tpu.models.thermal import ThermalModel
+
         self.fs = fs
         self.params = params
         self.dt = float(dt)
         self.dtype = dtype
+        # (mass, diffusion) coefficients: 'reference' = (1, alpha) exact
+        # parity with the reference's non-dimensionalized form
+        # (ThermoViscoProblem.py:293-306, SURVEY.md Quirks 6); 'physical'
+        # = (rho*cp, k), the dimensional equation
+        self.form = form
+        self.c_mass, self.c_diff = ThermalModel.from_params(
+            params).coefficients(form)
         mesh = fs.mesh
         self.n_dofs = fs.n_scalar_dofs
         self.is_dg = fs.family == "DG"
@@ -134,9 +143,9 @@ class HeatOperator:
         Tpq = Tpc @ self.phi.T
         gTq = jnp.einsum("cl,cqlg->cqg", Tc, self.gphi)    # (c, q, g)
         f_q = p.f if self.source_q is None else p.f + self.source_q
-        mass_src = self.qw * ((Tq - Tpq) - dt * f_q)       # (c, q)
+        mass_src = self.qw * (self.c_mass * (Tq - Tpq) - dt * f_q)  # (c, q)
         r_cell = jnp.einsum("cq,ql->cl", mass_src, self.phi)
-        r_cell += dt * p.alpha * jnp.einsum(
+        r_cell += dt * self.c_diff * jnp.einsum(
             "cqg,cqlg->cl", self.qw[..., None] * gTq, self.gphi
         )
         r = self._scatter(r_cell, self.dofmap)
@@ -158,7 +167,7 @@ class HeatOperator:
             dTm = jnp.einsum("fql,fl->fq", self.i_dnphi_m, T[self.i_dofmap_m])
             jumpT = Tp - Tm
             avg_dT = 0.5 * (dTp + dTm)
-            coef = dt * p.alpha * self.i_qw                # (f, q)
+            coef = dt * self.c_diff * self.i_qw            # (f, q)
             pen_h = (p.dg_penalty / self.i_h_p)[:, None]   # (f, 1)
             r_p = jnp.einsum(
                 "fq,fql->fl",
@@ -196,14 +205,15 @@ class HeatOperator:
         scalar: (mass_diag, stiff_diag) with diag = mass + dt * stiff."""
         p = self.params
         d_mass = self._scatter(
-            jnp.einsum("cq,ql,ql->cl", self.qw, self.phi, self.phi),
+            self.c_mass * jnp.einsum(
+                "cq,ql,ql->cl", self.qw, self.phi, self.phi),
             self.dofmap)
         d_stiff = self._scatter(
-            p.alpha * jnp.einsum(
+            self.c_diff * jnp.einsum(
                 "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi),
             self.dofmap)
         if self.is_dg:
-            coef = p.alpha * self.i_qw
+            coef = self.c_diff * self.i_qw
             pen_h = (p.dg_penalty / self.i_h_p)[:, None]
             d_p = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_p, self.i_phi_p) \
                 - jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_p, self.i_dnphi_p)

@@ -74,8 +74,8 @@ class EllMatrix:
         qw = np.asarray(op.qw)
         phi = np.asarray(op.phi)
         gphi = np.asarray(op.gphi)
-        mass_el = np.einsum("cq,ql,qm->clm", qw, phi, phi)
-        stiff_el = op.params.alpha * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
+        mass_el = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
+        stiff_el = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
         vals_mass = np.zeros(n * K)
         vals_stiff = np.zeros(n * K)
         cell_pairs = np.stack(np.broadcast_arrays(
@@ -85,7 +85,7 @@ class EllMatrix:
         np.add.at(vals_stiff, idx, stiff_el.reshape(-1))
 
         if op.is_dg:
-            coef = op.params.alpha * np.asarray(op.i_qw)          # (f, q)
+            coef = op.c_diff * np.asarray(op.i_qw)                # (f, q)
             php = np.asarray(op.i_phi_p)
             phm = np.asarray(op.i_phi_m)
             dnp_ = np.asarray(op.i_dnphi_p)

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fem_glass_tempering_tpu.ops.heat import HeatOperator
-from fem_glass_tempering_tpu.ops.spmv import EllMatrix
 
 
 class StencilMatrix:
@@ -38,14 +37,9 @@ class StencilMatrix:
         assert int(np.prod(self.grid)) == n
 
         # lattice offsets, lexicographic: index o = sum((delta_i+1)*3^pos)
-        deltas = [(-1, 0, 1)] * d
         self.offsets = [off for off in np.ndindex(*([3] * d))]
         self.n_off = 3 ** d
         strides = np.array([int(np.prod(self.grid[i + 1:])) for i in range(d)])
-
-        ell = EllMatrix(op)
-        cols = np.asarray(ell.cols)          # (n, K)
-        K = ell.K
 
         def multi(idx):
             out = []
@@ -54,40 +48,74 @@ class StencilMatrix:
                 idx = idx % s
             return np.stack(out, axis=-1)
 
-        rows_m = multi(np.arange(n)[:, None] * np.ones((1, K), dtype=np.int64))
-        cols_m = multi(cols.astype(np.int64))
-        delta = cols_m - rows_m + 1          # in [0, 2]
-        # column-0 padding slots of ELL may produce out-of-range deltas;
-        # their values are zero, route them to a dump slot
-        valid = np.all((delta >= 0) & (delta <= 2), axis=-1)
-        o_map = np.zeros((n, K), dtype=np.int64)
-        for i in range(d):
-            o_map = o_map * 3 + delta[..., i].clip(0, 2)
-        o_map = np.where(valid, o_map, self.n_off)    # dump slot
+        def offset_flat(rows, cols):
+            """(row, col) dof pairs -> flat index o*n + row into the
+            (n_off, n) stencil layout (all pairs of a box-mesh cell are
+            lattice neighbors, so no dump slot is needed)."""
+            delta = multi(cols.astype(np.int64)) - multi(rows.astype(np.int64)) + 1
+            assert delta.min() >= 0 and delta.max() <= 2
+            o = np.zeros(rows.shape, dtype=np.int64)
+            for i in range(d):
+                o = o * 3 + delta[..., i]
+            return o * n + rows
 
-        # flat index into (n_off+1, n)
-        flat = o_map * n + np.arange(n)[:, None]
-
-        vals_mass = np.zeros((self.n_off + 1) * n)
-        vals_stiff = np.zeros((self.n_off + 1) * n)
-        np.add.at(vals_mass, flat.reshape(-1),
-                  np.asarray(ell.vals_mass).reshape(-1))
-        np.add.at(vals_stiff, flat.reshape(-1),
-                  np.asarray(ell.vals_stiff).reshape(-1))
+        # direct vectorized assembly (no per-pair Python bookkeeping —
+        # the EllMatrix slot map costs minutes at 1M dofs)
+        dofmap = np.asarray(op.dofmap).astype(np.int64)    # (c, nloc)
+        qw = np.asarray(op.qw)
+        phi = np.asarray(op.phi)
+        gphi = np.asarray(op.gphi)
+        mass_el = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
+        stiff_el = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
+        rows = np.broadcast_to(dofmap[:, :, None], mass_el.shape)
+        cols = np.broadcast_to(dofmap[:, None, :], mass_el.shape)
+        flat = offset_flat(rows.reshape(-1), cols.reshape(-1))
+        vals_mass = np.zeros(self.n_off * n)
+        vals_stiff = np.zeros(self.n_off * n)
+        np.add.at(vals_mass, flat, mass_el.reshape(-1))
+        np.add.at(vals_stiff, flat, stiff_el.reshape(-1))
         dtype = op.dtype
         self.st_mass = jnp.asarray(
-            vals_mass[: self.n_off * n].reshape((self.n_off,) + self.grid),
-            dtype=dtype)
+            vals_mass.reshape((self.n_off,) + self.grid), dtype=dtype)
         self.st_stiff = jnp.asarray(
-            vals_stiff[: self.n_off * n].reshape((self.n_off,) + self.grid),
-            dtype=dtype)
+            vals_stiff.reshape((self.n_off,) + self.grid), dtype=dtype)
+
+        # host-side Gershgorin row statistics (numpy, kept for smoother
+        # spectrum bounds at setup — solver/multigrid.py freeze_omegas):
+        # abs row sums and diagonals of mass/stiffness, plus the boundary
+        # linearization at T_0
+        vm = vals_mass.reshape(self.n_off, n)
+        vs = vals_stiff.reshape(self.n_off, n)
+        center = (self.n_off - 1) // 2
+        p = op.params
+        b_abs = np.zeros(n)
+        b_diag = np.zeros(n)
+        bdm = np.asarray(op.b_dofmap).astype(np.int64)
+        if len(bdm):
+            dflux0 = p.boundary_scale * (
+                4.0 * p.sigma * p.epsilon * p.T_0**3 + p.htc)
+            blocks = dflux0 * np.einsum(
+                "fq,fql,fqm->flm", np.asarray(op.b_qw),
+                np.asarray(op.b_phi), np.asarray(op.b_phi))
+            np.add.at(b_abs, bdm, np.abs(blocks).sum(axis=2))
+            np.add.at(b_diag, bdm,
+                      np.einsum("fll->fl", blocks))
+        self.gersh = {
+            "mass_abs": np.abs(vm).sum(axis=0), "mass_diag": vm[center].copy(),
+            "stiff_abs": np.abs(vs).sum(axis=0), "stiff_diag": vs[center].copy(),
+            "b_abs": b_abs, "b_diag": b_diag,
+        }
 
         # boundary-block scatter positions into the stencil layout
-        if ell.b_flat_idx is not None:
-            b_rows = np.asarray(ell.b_flat_idx) // ell.K
-            b_slots = np.asarray(ell.b_flat_idx) % ell.K
-            b_o = o_map[b_rows, b_slots]
-            self.b_st_idx = jnp.asarray(b_o * n + b_rows)
+        b_dofmap = np.asarray(op.b_dofmap).astype(np.int64)
+        if len(b_dofmap):
+            nb = b_dofmap.shape[1]
+            b_rows = np.broadcast_to(b_dofmap[:, :, None],
+                                     b_dofmap.shape[:1] + (nb, nb))
+            b_cols = np.broadcast_to(b_dofmap[:, None, :],
+                                     b_dofmap.shape[:1] + (nb, nb))
+            self.b_st_idx = jnp.asarray(
+                offset_flat(b_rows.reshape(-1), b_cols.reshape(-1)))
         else:
             self.b_st_idx = None
         self.n = n
@@ -103,11 +131,8 @@ class StencilMatrix:
             dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
             blocks = jnp.einsum("fq,fql,fqm->flm", op.b_qw * dt * dflux,
                                 op.b_phi, op.b_phi)
-            flat = jnp.concatenate(
-                [vals.reshape(-1),
-                 jnp.zeros((self.n,), vals.dtype)])  # dump slot
-            flat = flat.at[self.b_st_idx].add(blocks.reshape(-1))
-            vals = flat[: self.n_off * self.n].reshape(vals.shape)
+            vals = vals.reshape(-1).at[self.b_st_idx].add(
+                blocks.reshape(-1)).reshape(vals.shape)
         return vals
 
     def matvec_g(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
@@ -181,11 +206,11 @@ class DGStencilMatrix:
         qw = np.asarray(op.qw)
         phi = np.asarray(op.phi)
         gphi = np.asarray(op.gphi)
-        self_mass = np.einsum("cq,ql,qm->clm", qw, phi, phi)
-        self_stiff = p.alpha * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
+        self_mass = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
+        self_stiff = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
 
         # ---- SIPG facet blocks (same formulas as EllMatrix / the residual) ----
-        coef = p.alpha * np.asarray(op.i_qw)              # (f, q)
+        coef = op.c_diff * np.asarray(op.i_qw)            # (f, q)
         php = np.asarray(op.i_phi_p)
         phm = np.asarray(op.i_phi_m)
         dnp_ = np.asarray(op.i_dnphi_p)

@@ -167,27 +167,66 @@ class GridShardedProblem:
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 
-        ss = self._state_shardings
+        # operator tables as jit arguments (see utils/jitargs.py) — baked
+        # constants would exceed the remote-compile payload limit at
+        # production mesh sizes. Only the grid-native tables are needed
+        # here (the gather-assembly tables are never touched); each is
+        # sharded along its grid-x axis so devices hold only their slab
+        # of the stencil values.
+        from fem_glass_tempering_tpu.utils.jitargs import TableBundle
+        bundle = TableBundle()
+        bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
+                            "bc_mask_g", "bc_values_g"))
+        self._bundle = bundle
+        shard = NamedSharding(self.dev_mesh, P(AXIS))
         rep = NamedSharding(self.dev_mesh, P())
-        self._step_jit = jax.jit(
-            lambda state, dt=default_dt: step(state, dt),
-            in_shardings=(ss,), out_shardings=(ss, rep, rep, rep),
-            donate_argnums=0)
+        d = len(self.grid)
 
-        def multi_step(state: ViscoState, n: int, dt):
-            def body(_, carry):
-                st, ok, ni, ki = carry
-                st2, conv, it, kit = step(st, dt)
-                return st2, ok & conv, ni + it, ki + kit
-            return jax.lax.fori_loop(
-                0, n, body,
-                (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)))
+        def leaf_sharding(a):
+            if a.ndim >= d + 1 and a.shape[1:d + 1] == self.grid:
+                return NamedSharding(self.dev_mesh, P(None, AXIS))
+            if a.ndim >= d and a.shape[:d] == self.grid:
+                return shard
+            return rep
 
-        self._multi_step_jit = jax.jit(
-            lambda state, n, dt=default_dt: multi_step(state, n, dt),
-            static_argnums=1,
-            in_shardings=(ss,), out_shardings=(ss, rep, rep, rep),
+        tbl0 = bundle.collect()
+        tbl_sh = jax.tree_util.tree_map(leaf_sharding, tbl0)
+        # place tables on the mesh ONCE (jit would otherwise re-transfer
+        # the device-0-committed arrays on every call)
+        place = jax.jit(lambda t: t, out_shardings=tbl_sh)
+        self._tbl = place(tbl0)
+
+        ss = self._state_shardings
+
+        def step_outer(state, dt, tbl):
+            with bundle.bound(tbl):
+                return step(state, dt)
+
+        _step_c = jax.jit(
+            step_outer,
+            in_shardings=(ss, None, tbl_sh),
+            out_shardings=(ss, rep, rep, rep),
             donate_argnums=0)
+        self._step_jit = lambda state, dt=default_dt: _step_c(
+            state, dt, self._tbl)
+
+        def multi_step(state: ViscoState, n: int, dt, tbl):
+            with bundle.bound(tbl):
+                def body(_, carry):
+                    st, ok, ni, ki = carry
+                    st2, conv, it, kit = step(st, dt)
+                    return st2, ok & conv, ni + it, ki + kit
+                return jax.lax.fori_loop(
+                    0, n, body,
+                    (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)))
+
+        _ms = jax.jit(
+            multi_step, static_argnums=1,
+            in_shardings=(ss, None, tbl_sh),
+            out_shardings=(ss, rep, rep, rep),
+            donate_argnums=0)
+        self._multi_step_jit = lambda state, n, dt=default_dt: _ms(
+            state, n, dt, self._tbl)
 
     # ------------------------------------------------------------------
     def step(self, state: ViscoState):

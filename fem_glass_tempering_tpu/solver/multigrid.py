@@ -72,37 +72,44 @@ def _transfer_tables(fine_dims, coarse_dims):
     """(n_fine_nodes, 2^d) parent coarse-node indices + weights for
     multilinear prolongation, supporting per-axis semi-coarsening: a
     non-coarsened axis maps identically; a halved axis interpolates odd
-    nodes between floor and ceil parents."""
+    nodes between floor and ceil parents. Fully vectorized (the per-node
+    Python loop costs minutes at 1M nodes)."""
     d = len(fine_dims)
-    cidx = _node_index(coarse_dims)
-    fidx = _node_index(fine_dims)
     shape = tuple(n + 1 for n in fine_dims)
+    cshape = tuple(n + 1 for n in coarse_dims)
+    cstr = [int(np.prod(cshape[a + 1:])) for a in range(d)]
     n_fine = int(np.prod(shape))
     n_par = 2 ** d
-    parents = np.zeros((n_fine, n_par), dtype=np.int32)
-    weights = np.zeros((n_fine, n_par))
-    coarsened = [fine_dims[a] != coarse_dims[a] for a in range(d)]
-    for multi in np.ndindex(*shape):
-        fi = fidx(multi)
-        combos = [(1.0, ())]
+
+    pax, wax = [], []               # per-axis (n_ax, 2) parents / weights
+    for ax in range(d):
+        v = np.arange(shape[ax], dtype=np.int64)
+        if fine_dims[ax] == coarse_dims[ax]:
+            p = np.stack([v, v], axis=-1)
+            w = np.stack([np.ones_like(v, dtype=float),
+                          np.zeros_like(v, dtype=float)], axis=-1)
+        else:
+            even = v % 2 == 0
+            p = np.stack([v // 2, np.where(even, v // 2, v // 2 + 1)],
+                         axis=-1)
+            w = np.stack([np.where(even, 1.0, 0.5),
+                          np.where(even, 0.0, 0.5)], axis=-1)
+        pax.append(p)
+        wax.append(w)
+
+    parents = np.zeros(shape + (n_par,), dtype=np.int64)
+    weights = np.ones(shape + (n_par,))
+    for j in range(n_par):
         for ax in range(d):
-            v = multi[ax]
-            new = []
-            if not coarsened[ax]:
-                for w, tup in combos:
-                    new.append((w, tup + (v,)))
-            elif v % 2 == 0:
-                for w, tup in combos:
-                    new.append((w, tup + (v // 2,)))
-            else:
-                for w, tup in combos:
-                    new.append((0.5 * w, tup + (v // 2,)))
-                    new.append((0.5 * w, tup + (v // 2 + 1,)))
-            combos = new
-        for j, (w, tup) in enumerate(combos):
-            parents[fi, j] = cidx(tup)
-            weights[fi, j] = w
-        # remaining slots keep weight 0 (parent 0)
+            bit = (j >> (d - 1 - ax)) & 1
+            bshape = [1] * d
+            bshape[ax] = shape[ax]
+            parents[..., j] += (pax[ax][:, bit] * cstr[ax]).reshape(bshape)
+            weights[..., j] *= wax[ax][:, bit].reshape(bshape)
+    parents = parents.reshape(n_fine, n_par).astype(np.int32)
+    weights = weights.reshape(n_fine, n_par)
+    # zero-weight duplicate slots point at their slot-0 parent already —
+    # harmless for prolong/restrict/injection
     return parents, weights
 
 
@@ -164,6 +171,10 @@ class GeometricMG:
                 self.levels.append(MGLevel(op=op, parents=None, weights=None,
                                            n_coarse=None))
                 break
+        # eager injection tables (lazy construction would read traced
+        # weights once tables ride as jit arguments)
+        for lvl in self.levels[:-1]:
+            self._build_inj(lvl)
 
     # ------------------------------------------------------------------
     def _prolong(self, lvl: MGLevel, xc):
@@ -272,23 +283,41 @@ class GeometricMG:
         return lvl._stencil
 
     def freeze_omegas(self, T_fine, dt) -> None:
-        """Estimate per-level smoother damping ONCE (eagerly, at setup) and
-        bake the values as static constants — rho(D^{-1}A) barely moves with
-        T (only the small boundary linearization changes), and freezing
-        removes 10 matvecs per level from every Newton iteration's trace."""
-        states = self.linearization_states(jnp.asarray(T_fine))
+        """Fix per-level smoother spectrum bounds ONCE at setup.
+
+        Uses the Gershgorin bound rho(D^{-1}A) <= max_i sum_j|a_ij|/a_ii
+        evaluated from the numpy row statistics each level's StencilMatrix
+        records at construction (boundary linearization taken at T_0) —
+        a guaranteed upper bound, computed entirely on the host: no eager
+        device matvecs (a 1M-dof power iteration through the remote-TPU
+        tunnel is dispatch-bound, and jitting it would bake the operator
+        tables into HLO). rho barely moves with T (only the small boundary
+        block changes), and Chebyshev/damped-Jacobi only need an upper
+        bound."""
+        del T_fine
         vals = []
-        for lvl, T in zip(self.levels, states):
-            op = lvl.op
-            f = lambda v: jax.jvp(lambda u: op.residual(u, T, dt), (T,), (v,))[1]
-            d = op.jacobian_diag(T, dt)
-            v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
-            rho = 1.0
-            for _ in range(12):
-                w = f(v) / d
-                rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
-                v = w / jnp.linalg.norm(w)
-            vals.append(rho * 1.05)
+        for lvl in self.levels:
+            st = self._stencil_for(lvl)
+            if st is not None and getattr(st, "gersh", None) is not None:
+                g = st.gersh
+                num = g["mass_abs"] + dt * (g["stiff_abs"] + g["b_abs"])
+                den = g["mass_diag"] + dt * (g["stiff_diag"] + g["b_diag"])
+                rho = float(np.max(num / den))
+            else:
+                # fallback: power iteration via jvp (small/unstenciled level)
+                op = lvl.op
+                T = jnp.full(op.n_dofs, op.params.T_0, dtype=self.dtype)
+                f = lambda v: jax.jvp(
+                    lambda u: op.residual(u, T, dt), (T,), (v,))[1]
+                d = op.jacobian_diag(T, dt)
+                v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
+                rho = 1.0
+                for _ in range(12):
+                    w = f(v) / d
+                    rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
+                    v = w / jnp.linalg.norm(w)
+                rho *= 1.05
+            vals.append(rho)
         self._frozen_rhos = vals
 
     def linearization_states(self, T_fine):
@@ -304,15 +333,16 @@ class GeometricMG:
             states.append(cur)
         return states
 
+    def _build_inj(self, lvl: MGLevel) -> None:
+        w = np.asarray(lvl.weights)
+        par = np.asarray(lvl.parents)
+        inj = np.zeros(lvl.n_coarse, dtype=np.int64)
+        mask = w >= 0.999
+        fine_ids, slot = np.nonzero(mask)
+        inj[par[fine_ids, slot]] = fine_ids
+        lvl._inj = jnp.asarray(inj)
+
     def _inject(self, lvl: MGLevel, xf):
-        if not hasattr(lvl, "_inj"):
-            w = np.asarray(lvl.weights)
-            par = np.asarray(lvl.parents)
-            inj = np.zeros(lvl.n_coarse, dtype=np.int64)
-            mask = w >= 0.999
-            fine_ids, slot = np.nonzero(mask)
-            inj[par[fine_ids, slot]] = fine_ids
-            lvl._inj = jnp.asarray(inj)
         return xf[lvl._inj]
 
 
@@ -393,25 +423,26 @@ class DGMultigrid:
         return self.restrict(T_dg) * self.inv_counts
 
     # ---- block/line solvers -------------------------------------------
-    def _make_zsolve(self, T_dg, dt):
-        """The smoother's approximate solve z ~ A^{-1} r:
-        'jacobi'/'chebyshev' -> pointwise diagonal; 'block' -> exact
-        per-cell (nloc x nloc) self-block solve; 'column' -> exact
-        block-tridiagonal solve of every cell column along the strongly
-        coupled axis (batched Thomas factorization — MXU-shaped 8x8
-        matmuls, no gathers)."""
+    # The smoother solve is split into (data, apply): `_zsolve_data` builds
+    # the factor arrays, `_zsolve_apply(data, r)` applies them. Frozen
+    # data lives in `_frozen_smoother_data` — a plain pytree of arrays, so
+    # the jit-argument machinery (utils/jitargs.py) can thread it into
+    # compiled programs instead of baking ~tens of MB of factors as HLO
+    # constants.
+    def _zsolve_data(self, T_dg, dt):
+        """'jacobi'/'chebyshev' -> pointwise diagonal; 'block' -> exact
+        per-cell (nloc x nloc) self-block inverse; 'column' -> exact
+        block-tridiagonal factors of every cell column along the strongly
+        coupled axis (batched Thomas — MXU-shaped 8x8 matmuls, no
+        gathers)."""
         if self.smoother in ("jacobi", "chebyshev"):
-            diag = self.dg_op.jacobian_diag(T_dg, dt)
-            return lambda r: r / diag
+            return {"diag": self.dg_op.jacobian_diag(T_dg, dt)}
         vals_self = self.stencil.values_at(T_dg, dt)      # (C, nloc, nloc)
         if self.smoother == "block":
-            inv_self = jnp.linalg.inv(vals_self)
-            C, nloc = self.stencil.C, self.stencil.nloc
-            return lambda r: jnp.einsum(
-                "clm,cm->cl", inv_self, r.reshape(C, nloc)).reshape(-1)
-        return self._column_solver(vals_self, dt)
+            return {"inv_self": jnp.linalg.inv(vals_self)}
+        return self._column_factorize(vals_self, dt)
 
-    def _column_solver(self, vals_self, dt):
+    def _column_factorize(self, vals_self, dt):
         st = self.stencil
         a = self.col_axis
         dims = st.cell_dims
@@ -423,8 +454,6 @@ class DGMultigrid:
         Bm = st.Bm[a] * dt                                # k -> k-1 coupling
 
         perm = tuple(i for i in range(d) if i != a) + (a,)
-        inv_perm = tuple(np.argsort(perm + (d, )))[:d]    # for cell axes
-
         A = vals_self.reshape(dims + (nloc, nloc))
         A = jnp.transpose(A, perm + (d, d + 1)).reshape(ncol, nzc, nloc, nloc)
 
@@ -437,36 +466,51 @@ class DGMultigrid:
             Dk = A[:, k] - jnp.einsum("clk,km->clm", Lk, Bp)
             invD.append(jnp.linalg.inv(Dk))
             Ls.append(Lk)
+        return {"invD": invD, "Ls": Ls, "BpT": Bp.T}
 
-        def solve(r):
-            rg = r.reshape(dims + (nloc,))
-            rg = jnp.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
-            y = [rg[:, 0]]
-            for k in range(1, nzc):
-                y.append(rg[:, k] - jnp.einsum("clk,ck->cl", Ls[k - 1], y[-1]))
-            x = [None] * nzc
-            x[-1] = jnp.einsum("clm,cm->cl", invD[-1], y[-1])
-            for k in range(nzc - 2, -1, -1):
-                x[k] = jnp.einsum("clm,cm->cl", invD[k],
-                                  y[k] - x[k + 1] @ Bp.T)
-            xg = jnp.stack(x, axis=1)                     # (ncol, nzc, nloc)
-            shape_perm = tuple(dims[i] for i in perm) + (nloc,)
-            xg = xg.reshape(shape_perm)
-            xg = jnp.transpose(xg, inv_perm + (d,))
-            return xg.reshape(-1)
-
-        return solve
+    def _zsolve_apply(self, data, r):
+        if "diag" in data:
+            return r / data["diag"]
+        if "inv_self" in data:
+            C, nloc = self.stencil.C, self.stencil.nloc
+            return jnp.einsum("clm,cm->cl", data["inv_self"],
+                              r.reshape(C, nloc)).reshape(-1)
+        st = self.stencil
+        a = self.col_axis
+        dims = st.cell_dims
+        d = len(dims)
+        nloc = st.nloc
+        nzc = dims[a]
+        ncol = st.C // nzc
+        perm = tuple(i for i in range(d) if i != a) + (a,)
+        inv_perm = tuple(int(i) for i in np.argsort(perm))
+        invD, Ls, BpT = data["invD"], data["Ls"], data["BpT"]
+        rg = r.reshape(dims + (nloc,))
+        rg = jnp.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
+        y = [rg[:, 0]]
+        for k in range(1, nzc):
+            y.append(rg[:, k] - jnp.einsum("clk,ck->cl", Ls[k - 1], y[-1]))
+        x = [None] * nzc
+        x[-1] = jnp.einsum("clm,cm->cl", invD[-1], y[-1])
+        for k in range(nzc - 2, -1, -1):
+            x[k] = jnp.einsum("clm,cm->cl", invD[k], y[k] - x[k + 1] @ BpT)
+        xg = jnp.stack(x, axis=1)                         # (ncol, nzc, nloc)
+        shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+        xg = xg.reshape(shape_perm)
+        xg = jnp.transpose(xg, inv_perm + (d,))
+        return xg.reshape(-1)
 
     # ---- setup -------------------------------------------------------
     def freeze(self, T_dg0, dt) -> None:
-        """Build the smoother solve ONCE at the initial state, estimate
+        """Build the smoother factors ONCE at the initial state, estimate
         rho(Z^{-1}A) by power iteration, and freeze both (plus the coarse
-        hierarchy's smoother spectra) as static constants — same rationale
-        as GeometricMG.freeze_omegas: only the small boundary
-        linearization moves with T, and a frozen SPD smoother is still a
-        valid preconditioner."""
+        hierarchy's smoother spectra) — same rationale as
+        GeometricMG.freeze_omegas: only the small boundary linearization
+        moves with T, and a frozen SPD smoother is still a valid
+        preconditioner."""
         T_dg0 = jnp.asarray(T_dg0, dtype=self.dtype)
-        zsolve = self._make_zsolve(T_dg0, dt)
+        data = self._zsolve_data(T_dg0, dt)
+        zsolve = lambda r: self._zsolve_apply(data, r)
         mv = self.stencil.make_matvec(T_dg0, dt)
         n = T_dg0.shape[0]
         v = jnp.sin(jnp.arange(n, dtype=self.dtype) * 0.7) + 0.01
@@ -476,7 +520,7 @@ class DGMultigrid:
             rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
             v = w / jnp.linalg.norm(w)
         self._frozen_rho = rho * 1.05
-        self._frozen_zsolve = zsolve
+        self._frozen_smoother_data = data
         self.cg_mg.freeze_omegas(self.restrict_state(T_dg0), dt)
 
     # ---- apply -------------------------------------------------------
@@ -485,10 +529,11 @@ class DGMultigrid:
         T_cg = self.restrict_state(T_dg)
         inner = self.cg_mg.preconditioner(
             self.cg_mg.linearization_states(T_cg), dt)
-        zsolve = getattr(self, "_frozen_zsolve", None)
+        data = getattr(self, "_frozen_smoother_data", None)
         rho = self._frozen_rho
-        if zsolve is None:
-            zsolve = self._make_zsolve(T_dg, dt)
+        if data is None:
+            data = self._zsolve_data(T_dg, dt)
+        zsolve = lambda r: self._zsolve_apply(data, r)
         if rho is None:
             v = jnp.sin(jnp.arange(T_dg.shape[0], dtype=T_dg.dtype) * 0.7) + 0.01
             r = jnp.asarray(1.0, T_dg.dtype)

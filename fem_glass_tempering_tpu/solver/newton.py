@@ -33,14 +33,25 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  cg_max_it: int = 1000,
                  dot: Callable | None = None,
                  precond_fn: Callable | None = None,
-                 matvec_fn: Callable | None = None) -> NewtonResult:
+                 matvec_fn: Callable | None = None,
+                 cg_cast=None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
     `dot` overrides the inner product for distributed (shard_map) use.
     `precond_fn(x)` builds a general preconditioner apply at the current
     iterate (takes precedence over jac_diag_fn). `matvec_fn(x)` builds the
     Jacobian action at the current iterate (e.g. an assembled ELL SpMV,
-    ops/spmv.py) instead of the default jax.jvp of the residual."""
+    ops/spmv.py) instead of the default jax.jvp of the residual.
+
+    `cg_cast` (e.g. jnp.float32) runs the inner CG in that dtype while the
+    residual, update, and the incremental convergence test stay in x's
+    dtype — mixed-precision inexact Newton. TPUs have no native f64
+    (SURVEY.md §7 'hard parts'), so an f64 x / f32 CG split recovers f64
+    Newton accuracy at f32 Krylov speed: the RHS is normalized before the
+    cast (the inner solve is scale-free), and the inexact increment only
+    costs O(1) extra Newton iterations since its relative error is bounded
+    by the f32 CG tolerance, not by ||F||. matvec_fn/jac_diag_fn/
+    precond_fn must then produce cg_cast-dtype operators."""
     if dot is None:
         dot = jnp.vdot
 
@@ -63,10 +74,19 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
 
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
         precond = precond_fn(x) if precond_fn is not None else None
-        lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                  max_it=cg_max_it, dot=dot, precond=precond)
-        x_new = x + lin.x
-        dxn = norm(lin.x)
+        if cg_cast is not None:
+            Fn = norm(F)
+            scale = jnp.where(Fn == 0, 1.0, Fn)
+            b = (-F / scale).astype(cg_cast)
+            lin = pcg(matvec, b, diag=diag, rtol=cg_rtol, atol=cg_atol,
+                      max_it=cg_max_it, precond=precond)
+            dx = lin.x.astype(x.dtype) * scale
+        else:
+            lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
+                      max_it=cg_max_it, dot=dot, precond=precond)
+            dx = lin.x
+        x_new = x + dx
+        dxn = norm(dx)
         conv = dxn <= rtol * norm(x_new) + atol
         return x_new, k + 1, conv, dxn, cg_total + lin.iters
 

@@ -1,0 +1,104 @@
+"""Operator tables as jit ARGUMENTS instead of baked HLO constants.
+
+Closure-captured jnp arrays become literal constants inside a jitted
+program. For the operator tables of a production-size mesh (stencil value
+grids ~100 MB at 1M dofs, DG block tables, line-smoother factors) that is
+wrong twice over on TPU:
+
+1. the serialized HLO carries the constants — the axon remote-compile
+   tunnel rejects programs past ~30 MB (HTTP 413, measured), and even a
+   direct runtime re-uploads them per program;
+2. XLA may try to constant-fold through them at compile time.
+
+`TableBundle` fixes this generically: it registers the large array-valued
+attributes of every live operator object, `collect()`s their current
+values to pass as explicit jit arguments, and `bound(values)` swaps the
+traced values in during tracing (restoring the concrete arrays after).
+The arrays then flow into the compiled program as ordinary device-resident
+parameters — zero copies per call, tiny HLO.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+
+class TableBundle:
+    def __init__(self):
+        self._entries: list[tuple[object, str]] = []
+        self._seen: set = set()
+
+    # ------------------------------------------------------------------
+    def register(self, obj, attrs) -> None:
+        """Register array-valued (or pytree-valued) attributes of obj."""
+        for a in attrs:
+            if getattr(obj, a, None) is None:
+                continue
+            key = (id(obj), a)
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            self._entries.append((obj, a))
+
+    def register_operator(self, op) -> None:
+        """Dispatch on the operator type; recurses into sub-operators."""
+        if op is None:
+            return
+        name = type(op).__name__
+        if name == "HeatOperator":
+            self.register(op, (
+                "dofmap", "qw", "phi", "gphi", "b_dofmap", "b_qw", "b_phi",
+                "bc_mask", "bc_values", "source_q", "_const_diag",
+                "i_dofmap_p", "i_dofmap_m", "i_qw", "i_phi_p", "i_phi_m",
+                "i_dnphi_p", "i_dnphi_m", "i_h_p"))
+        elif name == "StencilMatrix":
+            self.register(op, ("st_mass", "st_stiff", "b_st_idx"))
+            self.register_operator(op.op)
+        elif name == "DGStencilMatrix":
+            self.register(op, ("self_mass", "self_stiff", "Bp", "Bm",
+                               "Bp_cells", "Bm_cells", "b_cell"))
+            self.register_operator(op.op)
+        elif name == "EllMatrix":
+            self.register(op, ("vals_mass", "vals_stiff", "cols",
+                               "b_flat_idx"))
+            self.register_operator(op.op)
+        elif name == "GridHeatOperator":
+            self.register(op, ("vals_mass", "vals_stiff", "M1g",
+                               "bc_mask", "bc_values", "bc_mask_g",
+                               "bc_values_g"))
+            self.register_operator(op.op)
+        elif name == "GeometricMG":
+            for lvl in op.levels:
+                self.register(lvl, ("parents", "weights"))
+                self.register(lvl, ("_inj",))
+                st = op._stencil_for(lvl)
+                if st is not None:
+                    self.register_operator(st)
+                self.register_operator(lvl.op)
+        elif name == "DGMultigrid":
+            self.register(op, ("cells_flat", "inv_counts",
+                               "_frozen_smoother_data"))
+            self.register_operator(op.stencil)
+            self.register_operator(op.dg_op)
+            self.register_operator(op.cg_mg)
+        elif name == "SmoothedAggregationMG":
+            self.register(op, ("levels", "transfers"))
+        elif name == "CrossEval":
+            self.register(op, ("_tab", "_src_cells"))
+        elif name == "ViscoelasticEngine":
+            self.register_operator(op.to_sigma)
+
+    # ------------------------------------------------------------------
+    def collect(self) -> list:
+        return [getattr(o, a) for o, a in self._entries]
+
+    @contextmanager
+    def bound(self, values):
+        old = [getattr(o, a) for o, a in self._entries]
+        for (o, a), v in zip(self._entries, values):
+            object.__setattr__(o, a, v)
+        try:
+            yield
+        finally:
+            for (o, a), v in zip(self._entries, old):
+                object.__setattr__(o, a, v)

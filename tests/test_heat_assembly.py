@@ -217,3 +217,34 @@ def test_flux_marker_insulates_selected_faces():
     assert left.max() < p.T_0 - 10.0           # cooled face drops hard
     # insulated face only loses heat via conduction -> clearly warmer
     assert right.min() > left.max() + 10.0
+
+
+def test_physical_heat_form():
+    """form='physical' assembles the dimensional rho*cp / k equation the
+    reference's parameters imply but never use (ThermalModel.py:23-25
+    created, unused in the form — SURVEY.md Quirks 6)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_2d
+    from fem_glass_tempering_tpu.models.thermal import ThermalModel
+
+    mesh = box_mesh_2d(4, 3)
+    fs = FunctionSpace(mesh, "CG", 1)
+    p = ModelParams()
+    # with rho*cp == 1 and k == alpha the two forms coincide
+    p_match = dataclasses.replace(p, rho=1.0, cp=1.0, k=p.alpha)
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    Tp = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    r_ref = HeatOperator(fs, p_match, 0.1, form="reference").residual(T, Tp)
+    r_phys = HeatOperator(fs, p_match, 0.1, form="physical").residual(T, Tp)
+    np.testing.assert_allclose(np.asarray(r_phys), np.asarray(r_ref),
+                               rtol=1e-12)
+    # dimensional coefficients actually enter the operator
+    op = HeatOperator(fs, p, 0.1, form="physical")
+    assert op.c_mass == p.rho * p.cp and op.c_diff == p.k
+    tm = ThermalModel.from_params(p)
+    assert np.isclose(tm.diffusivity(), p.k / (p.rho * p.cp))
+    assert tm.radiation_htc(800.0) > 0
