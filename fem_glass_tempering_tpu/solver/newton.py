@@ -87,7 +87,14 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
             dx = lin.x
         x_new = x + dx
         dxn = norm(dx)
-        conv = dxn <= rtol * norm(x_new) + atol
+        # the incremental test alone can be fooled by a FAILED linear
+        # solve: a garbage dx inflates ||x_new|| and with it the
+        # acceptance threshold (observed: a diverging f32 DG run sailed
+        # through with T ~ 1e11 'converged'). Demand the inner CG
+        # actually met its tolerance — failures then surface as
+        # non-convergence and reach the dt-halving retry machinery
+        # instead of silently corrupting the state.
+        conv = (dxn <= rtol * norm(x_new) + atol) & lin.converged
         return x_new, k + 1, conv, dxn, cg_total + lin.iters
 
     x0 = jnp.asarray(x0)

@@ -68,9 +68,9 @@ class TableBundle:
                                "bc_values_g"))
             self.register_operator(op.op)
         elif name == "GeometricMG":
+            # lattice transfers are strided-slice ops with no tables;
+            # only the per-level operators carry arrays
             for lvl in op.levels:
-                self.register(lvl, ("parents", "weights"))
-                self.register(lvl, ("_inj",))
                 st = op._stencil_for(lvl)
                 if st is not None:
                     self.register_operator(st)

@@ -16,30 +16,41 @@ from fem_glass_tempering_tpu.config import (
 )
 from fem_glass_tempering_tpu.fem.mesh import box_mesh_2d, box_mesh_3d, interval_mesh
 from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
-from fem_glass_tempering_tpu.solver.multigrid import _transfer_tables
-
-
-def test_transfer_tables_partition_of_unity():
-    parents, weights = _transfer_tables((8, 6), (4, 3))
-    np.testing.assert_allclose(weights.sum(axis=1), 1.0)
-    # even-index nodes map to exactly one parent with weight 1
-    n1 = (weights >= 0.999).sum()
-    assert n1 == 5 * 4  # coarse node count
+from fem_glass_tempering_tpu.solver.multigrid import GeometricMG, MGLevel
 
 
 def test_transfer_prolong_exact_for_linear():
-    """Multilinear prolongation reproduces linear fields exactly."""
+    """Multilinear lattice prolongation (strided-slice form) reproduces
+    linear fields exactly; restriction is its exact transpose."""
     import jax.numpy as jnp
 
     fdims, cdims = (8, 4, 4), (4, 2, 2)
-    parents, weights = _transfer_tables(fdims, cdims)
+    lvl = MGLevel(op=None, fine_dims=fdims, coarse_dims=cdims,
+                  axes=(0, 1, 2))
+    mg = GeometricMG.__new__(GeometricMG)   # transfers are static methods
     fm = box_mesh_3d(*fdims)
     cm = box_mesh_3d(*cdims)
     a = np.array([1.0, -2.0, 0.5])
-    xc = cm.nodes @ a
+    xc = jnp.asarray(cm.nodes @ a)
     xf_expect = fm.nodes @ a
-    xf = np.einsum("np,np->n", weights, xc[parents])
+    xf = np.asarray(mg._prolong(lvl, xc))
     np.testing.assert_allclose(xf, xf_expect, atol=1e-12)
+    # exact transpose: <P xc, rf> == <xc, R rf> for random rf
+    rng = np.random.default_rng(0)
+    rf = jnp.asarray(rng.standard_normal(len(xf_expect)))
+    lhs = float(jnp.vdot(mg._prolong(lvl, xc), rf))
+    rhs = float(jnp.vdot(xc, mg._restrict(lvl, rf)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+    # semi-coarsened (single-axis) transfer keeps the transpose identity
+    lvl2 = MGLevel(op=None, fine_dims=(8, 4, 4), coarse_dims=(4, 4, 4),
+                   axes=(0,))
+    cm2 = box_mesh_3d(4, 4, 4)
+    xc2 = jnp.asarray(cm2.nodes @ a)
+    np.testing.assert_allclose(np.asarray(mg._prolong(lvl2, xc2)),
+                               xf_expect, atol=1e-12)
+    lhs = float(jnp.vdot(mg._prolong(lvl2, xc2), rf))
+    rhs = float(jnp.vdot(xc2, mg._restrict(lvl2, rf)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
 
 
 def _solve(mesh, precond, n_steps=1):
