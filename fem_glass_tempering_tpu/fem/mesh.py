@@ -255,16 +255,14 @@ def box_mesh_3d(nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0,
     def nid(i, j, k):
         return (i * (ny + 1) + j) * (nz + 1) + k
 
-    hexes = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                # tensor-product order: index = ix + 2*iy + 4*iz
-                hexes.append([
-                    nid(i, j, k), nid(i + 1, j, k), nid(i, j + 1, k), nid(i + 1, j + 1, k),
-                    nid(i, j, k + 1), nid(i + 1, j, k + 1), nid(i, j + 1, k + 1), nid(i + 1, j + 1, k + 1),
-                ])
-    hexes = np.asarray(hexes, dtype=np.int32)
+    # vectorized cell construction (a Python triple loop costs minutes at
+    # 1M cells); tensor-product corner order: index = ix + 2*iy + 4*iz
+    ci, cj, ck = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    ci, cj, ck = ci.ravel(), cj.ravel(), ck.ravel()
+    corners = [nid(ci + (l & 1), cj + ((l >> 1) & 1), ck + ((l >> 2) & 1))
+               for l in range(8)]
+    hexes = np.stack(corners, axis=1).astype(np.int32)
     if cell_type == "hex":
         m = Mesh("hex", nodes, hexes)
         m.structured = {"dims": (nx, ny, nz), "lengths": (lx, ly, lz),

@@ -123,8 +123,9 @@ def _invert_geometry_map(mesh: Mesh, cells: np.ndarray, x_phys: np.ndarray) -> n
     f, q, g = x_phys.shape
     xi = np.broadcast_to(rc.vertices.mean(axis=0), (f, q, rc.tdim)).copy()
     for _ in range(1 if rc.simplex else 12):
-        phi = np.stack([geom.tabulate(xi[i]) for i in range(f)])       # (f,q,v)
-        dphi = np.stack([geom.tabulate_grad(xi[i]) for i in range(f)])  # (f,q,v,t)
+        pts = xi.reshape(f * q, rc.tdim)
+        phi = geom.tabulate(pts).reshape(f, q, -1)                     # (f,q,v)
+        dphi = geom.tabulate_grad(pts).reshape(f, q, -1, rc.tdim)      # (f,q,v,t)
         X = np.einsum("fqv,fvg->fqg", phi, xc)
         J = np.einsum("fvg,fqvt->fqgt", xc, dphi)
         r = x_phys - X
@@ -145,10 +146,28 @@ def _invert_geometry_map(mesh: Mesh, cells: np.ndarray, x_phys: np.ndarray) -> n
 def build_cell_geometry(mesh: Mesh, fs: FunctionSpace, quad_degree: int | None = None) -> CellGeometry:
     qd = quad_degree if quad_degree is not None else 2 * fs.degree + 1
     qp, qw = cell_quadrature(mesh.cell_type, qd)
-    cells = np.arange(mesh.n_cells)
-    J, detJ, invJ = _jacobians(mesh, qp, cells)
     phi = fs.element.tabulate(qp)                  # (q, l)
     dphi = fs.element.tabulate_grad(qp)            # (q, l, t)
+    if mesh.structured is not None:
+        # uniform box: every cell is congruent — tabulate ONE cell and
+        # broadcast (read-only views, no per-cell memory or compute; the
+        # O(n_cells) einsums cost minutes at 1M cells)
+        J1, detJ1, invJ1 = _jacobians(mesh, qp, np.arange(1))
+        grad1 = np.einsum("cqtg,qlt->cqlg", invJ1, dphi)       # (1,q,l,g)
+        c = mesh.n_cells
+        q = qp.shape[0]
+        qweights = np.broadcast_to(qw[None, :] * np.abs(detJ1), (c, q))
+        grad_phys = np.broadcast_to(grad1, (c,) + grad1.shape[1:])
+        geom = geometry_element(mesh.cell_type)
+        gphi = geom.tabulate(qp)
+        xq1 = np.einsum("qv,vg->qg", gphi, mesh.nodes[mesh.cells[0]])
+        org0 = mesh.nodes[mesh.cells[0, 0]]
+        xq = (mesh.nodes[mesh.cells[:, 0]][:, None, :]
+              + (xq1 - org0)[None])
+        return CellGeometry(qpoints_ref=qp, qweights=qweights, phi=phi,
+                            grad_phys=grad_phys, qpoints_phys=xq)
+    cells = np.arange(mesh.n_cells)
+    J, detJ, invJ = _jacobians(mesh, qp, cells)
     # physical gradient: grad_x phi[g] = sum_t invJ[t, g] * dphi[t]
     # (invJ from np.linalg.inv(J) has layout [t, g] = d xi_t / d x_g)
     grad_phys = np.einsum("cqtg,qlt->cqlg", invJ, dphi)
@@ -168,16 +187,16 @@ def _facet_side_tables(mesh: Mesh, fs: FunctionSpace, cells: np.ndarray,
                        xi_cell: np.ndarray):
     """Tabulate basis values/physical gradients of `fs` at per-facet cell
     reference points xi_cell (f, q, t). Returns phi (f,q,l), grad (f,q,l,g),
-    J-related per-point quantities."""
+    J-related per-point quantities. Tabulation is ONE merged call over all
+    f*q points (a per-facet Python loop costs minutes at 100k+ facets)."""
     f, q, t = xi_cell.shape
-    phi = np.stack([fs.element.tabulate(xi_cell[i]) for i in range(f)])
-    dphi = np.stack([fs.element.tabulate_grad(xi_cell[i]) for i in range(f)])
+    pts = xi_cell.reshape(f * q, t)
+    phi = fs.element.tabulate(pts).reshape(f, q, -1)
+    dphi = fs.element.tabulate_grad(pts).reshape(f, q, phi.shape[-1], t)
     geom = geometry_element(mesh.cell_type)
     xc = mesh.nodes[mesh.cells[cells]]
-    Jl = np.stack([
-        np.einsum("vg,qvt->qgt", xc[i], geom.tabulate_grad(xi_cell[i]))
-        for i in range(f)
-    ])  # (f, q, g, t)
+    gdt = geom.tabulate_grad(pts).reshape(f, q, -1, t)      # (f, q, v, t)
+    Jl = np.einsum("fvg,fqvt->fqgt", xc, gdt)               # (f, q, g, t)
     if mesh.tdim == 1:
         invJ = (1.0 / Jl[..., 0, 0])[..., None, None]
         detJ = Jl[..., 0, 0]
@@ -233,15 +252,20 @@ def build_boundary_geometry(mesh: Mesh, fs: FunctionSpace,
     rc = mesh.ref_cell
     cells = mesh.boundary_cell
     lfs = mesh.boundary_local_facet
-    # cell-reference coords of facet quad points, per facet
-    xi = np.stack([rc.map_facet_points(int(lf), fq) for lf in lfs])  # (f, q, t)
+    # cell-reference coords of facet quad points: per LOCAL facet, indexed
+    xi_all = np.stack([rc.map_facet_points(lf, fq)
+                       for lf in range(rc.n_facets)])
+    xi = xi_all[lfs]                                        # (f, q, t)
     phi, grad_phys, Jl, detJ, invJ = _facet_side_tables(mesh, fs, cells, xi)
     w, n = _facet_measure_and_normal(mesh, lfs, Jl, detJ, invJ, fw)
     geom = geometry_element(mesh.cell_type)
     xc = mesh.nodes[mesh.cells[cells]]
-    xq = np.stack([
-        np.einsum("qv,vg->qg", geom.tabulate(xi[i]), xc[i]) for i in range(len(cells))
-    ]) if len(cells) else np.zeros((0, len(fw), mesh.gdim))
+    if len(cells):
+        gv = geom.tabulate(xi.reshape(-1, xi.shape[-1]))
+        gv = gv.reshape(len(cells), len(fw), -1)            # (f, q, v)
+        xq = np.einsum("fqv,fvg->fqg", gv, xc)
+    else:
+        xq = np.zeros((0, len(fw), mesh.gdim))
     return FacetGeometry(
         cell=cells, qweights=w, phi=phi, grad_phys=grad_phys, normal=n,
         qpoints_phys=xq,
@@ -268,16 +292,18 @@ def build_interior_geometry(mesh: Mesh, fs: FunctionSpace,
             normal_p=z((0, q, g)), h_p=z((0,)),
         )
     # '+' side: map facet points into + cell reference coords
-    xi_p = np.stack([rc.map_facet_points(int(lf), fq) for lf in lp])
+    xi_all = np.stack([rc.map_facet_points(lf, fq)
+                       for lf in range(rc.n_facets)])
+    xi_p = xi_all[lp]
     phi_p, grad_p, Jp, detJp, invJp = _facet_side_tables(mesh, fs, cp, xi_p)
     w, n_p = _facet_measure_and_normal(mesh, lp, Jp, detJp, invJp, fw)
     # physical points from + side, pulled back into '-' cells so both sides
     # quadrate the same physical points in the same order
     geom = geometry_element(mesh.cell_type)
     xcp = mesh.nodes[mesh.cells[cp]]
-    xq = np.stack([
-        np.einsum("qv,vg->qg", geom.tabulate(xi_p[i]), xcp[i]) for i in range(nf)
-    ])
+    gv = geom.tabulate(xi_p.reshape(-1, xi_p.shape[-1]))
+    gv = gv.reshape(nf, len(fw), -1)
+    xq = np.einsum("fqv,fvg->fqg", gv, xcp)
     xi_m = _invert_geometry_map(mesh, cm, xq)
     phi_m, grad_m, _, _, _ = _facet_side_tables(mesh, fs, cm, xi_m)
     h_p = mesh.cell_diameters()[cp]

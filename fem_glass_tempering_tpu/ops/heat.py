@@ -83,9 +83,16 @@ class HeatOperator:
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 
         self.dofmap = i32(fs.dofmap)                      # (c, l)
-        self.qw = f32(cg.qweights)                        # (c, q)
+        # uniform box meshes: all cells congruent -> single-cell tables
+        # ((q,) weights, (q,l,g) gradients) instead of O(n_cells) arrays
+        self.uniform = mesh.structured is not None
+        if self.uniform:
+            self.qw = f32(np.asarray(cg.qweights[0]))     # (q,)
+            self.gphi = f32(np.asarray(cg.grad_phys[0]))  # (q, l, g)
+        else:
+            self.qw = f32(cg.qweights)                    # (c, q)
+            self.gphi = f32(cg.grad_phys)                 # (c, q, l, g)
         self.phi = f32(cg.phi)                            # (q, l)
-        self.gphi = f32(cg.grad_phys)                     # (c, q, l, g)
 
         self.b_dofmap = i32(fs.dofmap[bg.cell])           # (f, l)
         self.b_qw = f32(bg.qweights)                      # (f, q)
@@ -141,13 +148,19 @@ class HeatOperator:
         Tpc = T_prev[self.dofmap]
         Tq = Tc @ self.phi.T                               # (c, q)
         Tpq = Tpc @ self.phi.T
-        gTq = jnp.einsum("cl,cqlg->cqg", Tc, self.gphi)    # (c, q, g)
+        if self.uniform:
+            gTq = jnp.einsum("cl,qlg->cqg", Tc, self.gphi)  # (c, q, g)
+        else:
+            gTq = jnp.einsum("cl,cqlg->cqg", Tc, self.gphi)
         f_q = p.f if self.source_q is None else p.f + self.source_q
         mass_src = self.qw * (self.c_mass * (Tq - Tpq) - dt * f_q)  # (c, q)
         r_cell = jnp.einsum("cq,ql->cl", mass_src, self.phi)
-        r_cell += dt * self.c_diff * jnp.einsum(
-            "cqg,cqlg->cl", self.qw[..., None] * gTq, self.gphi
-        )
+        if self.uniform:
+            r_cell += dt * self.c_diff * jnp.einsum(
+                "cqg,qlg->cl", self.qw[None, :, None] * gTq, self.gphi)
+        else:
+            r_cell += dt * self.c_diff * jnp.einsum(
+                "cqg,cqlg->cl", self.qw[..., None] * gTq, self.gphi)
         r = self._scatter(r_cell, self.dofmap)
 
         # ---- boundary (radiation + convection, Robin-type) ----
@@ -204,14 +217,25 @@ class HeatOperator:
         """T-independent parts of diag(J), split so dt can stay a traced
         scalar: (mass_diag, stiff_diag) with diag = mass + dt * stiff."""
         p = self.params
-        d_mass = self._scatter(
-            self.c_mass * jnp.einsum(
-                "cq,ql,ql->cl", self.qw, self.phi, self.phi),
-            self.dofmap)
-        d_stiff = self._scatter(
-            self.c_diff * jnp.einsum(
-                "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi),
-            self.dofmap)
+        c = self.dofmap.shape[0]
+        if self.uniform:
+            dm_row = self.c_mass * jnp.einsum(
+                "q,ql,ql->l", self.qw, self.phi, self.phi)
+            ds_row = self.c_diff * jnp.einsum(
+                "q,qlg,qlg->l", self.qw, self.gphi, self.gphi)
+            d_mass = self._scatter(
+                jnp.broadcast_to(dm_row, (c,) + dm_row.shape), self.dofmap)
+            d_stiff = self._scatter(
+                jnp.broadcast_to(ds_row, (c,) + ds_row.shape), self.dofmap)
+        else:
+            d_mass = self._scatter(
+                self.c_mass * jnp.einsum(
+                    "cq,ql,ql->cl", self.qw, self.phi, self.phi),
+                self.dofmap)
+            d_stiff = self._scatter(
+                self.c_diff * jnp.einsum(
+                    "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi),
+                self.dofmap)
         if self.is_dg:
             coef = self.c_diff * self.i_qw
             pen_h = (p.dg_penalty / self.i_h_p)[:, None]

@@ -74,6 +74,10 @@ class EllMatrix:
         qw = np.asarray(op.qw)
         phi = np.asarray(op.phi)
         gphi = np.asarray(op.gphi)
+        if qw.ndim == 1:       # uniform-mesh compact tables ((q,), (q,l,g))
+            nc = dofmap.shape[0]
+            qw = np.broadcast_to(qw, (nc,) + qw.shape)
+            gphi = np.broadcast_to(gphi, (nc,) + gphi.shape)
         mass_el = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
         stiff_el = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
         vals_mass = np.zeros(n * K)

@@ -59,21 +59,34 @@ class StencilMatrix:
                 o = o * 3 + delta[..., i]
             return o * n + rows
 
-        # direct vectorized assembly (no per-pair Python bookkeeping —
-        # the EllMatrix slot map costs minutes at 1M dofs)
-        dofmap = np.asarray(op.dofmap).astype(np.int64)    # (c, nloc)
+        # single-cell element matrices: op stores uniform (q,)/(q,l,g)
+        # tables on box meshes (all cells congruent)
         qw = np.asarray(op.qw)
         phi = np.asarray(op.phi)
         gphi = np.asarray(op.gphi)
-        mass_el = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
-        stiff_el = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
-        rows = np.broadcast_to(dofmap[:, :, None], mass_el.shape)
-        cols = np.broadcast_to(dofmap[:, None, :], mass_el.shape)
-        flat = offset_flat(rows.reshape(-1), cols.reshape(-1))
-        vals_mass = np.zeros(self.n_off * n)
-        vals_stiff = np.zeros(self.n_off * n)
-        np.add.at(vals_mass, flat, mass_el.reshape(-1))
-        np.add.at(vals_stiff, flat, stiff_el.reshape(-1))
+        assert op.uniform and qw.ndim == 1
+        mass1 = op.c_mass * np.einsum("q,ql,qm->lm", qw, phi, phi)
+        stiff1 = op.c_diff * np.einsum("q,qlg,qmg->lm", qw, gphi, gphi)
+        nloc = mass1.shape[0]
+        # slice accumulation: corner l of every cell covers the node-grid
+        # window [loff_i, loff_i + nc_i) per axis — each (l, m) pair adds
+        # ONE constant into one offset plane over that window. O(nloc^2)
+        # vectorized adds instead of a 64M-entry scatter (which costs
+        # ~a minute at 1M dofs even via bincount).
+        loffs = [tuple((l >> i) & 1 for i in range(d)) for l in range(nloc)]
+        vals_mass = np.zeros((self.n_off,) + self.grid)
+        vals_stiff = np.zeros((self.n_off,) + self.grid)
+        for l in range(nloc):
+            sl = tuple(slice(loffs[l][i], loffs[l][i] + dims[i])
+                       for i in range(d))
+            for m in range(nloc):
+                o = 0
+                for i in range(d):
+                    o = o * 3 + (loffs[m][i] - loffs[l][i] + 1)
+                vals_mass[(o,) + sl] += mass1[l, m]
+                vals_stiff[(o,) + sl] += stiff1[l, m]
+        vals_mass = vals_mass.reshape(-1)
+        vals_stiff = vals_stiff.reshape(-1)
         dtype = op.dtype
         self.st_mass = jnp.asarray(
             vals_mass.reshape((self.n_off,) + self.grid), dtype=dtype)
@@ -97,9 +110,12 @@ class StencilMatrix:
             blocks = dflux0 * np.einsum(
                 "fq,fql,fqm->flm", np.asarray(op.b_qw),
                 np.asarray(op.b_phi), np.asarray(op.b_phi))
-            np.add.at(b_abs, bdm, np.abs(blocks).sum(axis=2))
-            np.add.at(b_diag, bdm,
-                      np.einsum("fll->fl", blocks))
+            b_abs = np.bincount(bdm.reshape(-1),
+                                weights=np.abs(blocks).sum(axis=2).reshape(-1),
+                                minlength=n)
+            b_diag = np.bincount(bdm.reshape(-1),
+                                 weights=np.einsum("fll->fl", blocks).reshape(-1),
+                                 minlength=n)
         self.gersh = {
             "mass_abs": np.abs(vm).sum(axis=0), "mass_diag": vm[center].copy(),
             "stiff_abs": np.abs(vs).sum(axis=0), "stiff_diag": vs[center].copy(),
@@ -206,8 +222,15 @@ class DGStencilMatrix:
         qw = np.asarray(op.qw)
         phi = np.asarray(op.phi)
         gphi = np.asarray(op.gphi)
-        self_mass = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
-        self_stiff = op.c_diff * np.einsum("cq,cqlg,cqmg->clm", qw, gphi, gphi)
+        if qw.ndim == 1:       # uniform-mesh compact tables
+            m1 = op.c_mass * np.einsum("q,ql,qm->lm", qw, phi, phi)
+            s1 = op.c_diff * np.einsum("q,qlg,qmg->lm", qw, gphi, gphi)
+            self_mass = np.broadcast_to(m1, (C,) + m1.shape).copy()
+            self_stiff = np.broadcast_to(s1, (C,) + s1.shape).copy()
+        else:
+            self_mass = op.c_mass * np.einsum("cq,ql,qm->clm", qw, phi, phi)
+            self_stiff = op.c_diff * np.einsum("cq,cqlg,cqmg->clm",
+                                               qw, gphi, gphi)
 
         # ---- SIPG facet blocks (same formulas as EllMatrix / the residual) ----
         coef = op.c_diff * np.asarray(op.i_qw)            # (f, q)
@@ -232,8 +255,15 @@ class DGStencilMatrix:
         # cell-contiguous dofmap -> facet cell ids and lattice directions
         cell_p = np.asarray(op.i_dofmap_p)[:, 0] // nloc
         cell_m = np.asarray(op.i_dofmap_m)[:, 0] // nloc
-        np.add.at(self_stiff, cell_p, Jpp)
-        np.add.at(self_stiff, cell_m, Jmm)
+        base = np.arange(nloc * nloc)
+        flat_p = (cell_p[:, None] * (nloc * nloc) + base).reshape(-1)
+        flat_m = (cell_m[:, None] * (nloc * nloc) + base).reshape(-1)
+        self_stiff = (self_stiff.reshape(-1)
+                      + np.bincount(flat_p, weights=Jpp.reshape(-1),
+                                    minlength=C * nloc * nloc)
+                      + np.bincount(flat_m, weights=Jmm.reshape(-1),
+                                    minlength=C * nloc * nloc)
+                      ).reshape(C, nloc, nloc)
 
         strides = np.array([int(np.prod(dims[i + 1:])) for i in range(d)])
 

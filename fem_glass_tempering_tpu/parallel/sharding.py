@@ -61,6 +61,14 @@ def shard_heat_operator(op, mesh: Mesh) -> None:
     cell = NamedSharding(mesh, P(CELL_AXIS))
     rep = NamedSharding(mesh, P())
     op.dofmap = _put_padded(op.dofmap, cell, nd, fill=0)
+    if getattr(op, "uniform", False):
+        # uniform-mesh compact tables carry no cell axis; this strategy
+        # needs per-cell rows (padded cells must carry ZERO weights so
+        # their contributions vanish) — materialize, then pad + shard
+        nc = op.fs.mesh.n_cells
+        op.qw = jnp.broadcast_to(op.qw, (nc,) + op.qw.shape)
+        op.gphi = jnp.broadcast_to(op.gphi, (nc,) + op.gphi.shape)
+        op.uniform = False
     op.qw = _put_padded(op.qw, cell, nd, fill=0)
     op.gphi = _put_padded(op.gphi, cell, nd, fill=0)
     op.phi = jax.device_put(op.phi, rep)

@@ -63,7 +63,7 @@ def test_sharded_arrays_actually_distributed(devices):
     prob.setup()
     dm = make_device_mesh(devices)
     shard_problem(prob, dm)
-    shards = prob.heat.qw.sharding
+    shards = prob.heat.dofmap.sharding
     assert len(shards.device_set) == 8
     prob.solve()
 
