@@ -35,7 +35,7 @@ from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
 
 
 class _Face:
-    __slots__ = ("axis", "side", "qw", "phi", "cell_dims")
+    __slots__ = ("axis", "side", "qw", "phi", "cell_dims", "np_phi")
 
     def __init__(self, axis, side, qw, phi, cell_dims):
         self.axis = axis      # grid axis 0..d-1
@@ -114,19 +114,22 @@ class GridHeatOperator:
                                      "uniform box")
                 cd = tuple(self.dims[i] if i != a else 1
                            for i in range(self.d))
-                self.faces.append(_Face(
-                    a, s, jnp.asarray(qw[0], dtype=op.dtype),
-                    jnp.asarray(phi[0], dtype=op.dtype), cd))
+                face = _Face(a, s, jnp.asarray(qw[0], dtype=op.dtype),
+                             jnp.asarray(phi[0], dtype=op.dtype), cd)
+                face.np_phi = np.asarray(phi[0])
+                self.faces.append(face)
 
         # local node l <-> lattice offset bits (builders' tensor-product
         # vertex order: l = ix + 2*iy + 4*iz)
         self.loffs = [tuple((l >> i) & 1 for i in range(self.d))
                       for l in range(nloc)]
-        # significant basis columns per face (off-face corners are zero)
+        # significant basis columns per face (off-face corners are zero) —
+        # numpy, NOT eager jnp: every eager op at setup is a device round
+        # trip (minutes through a remote-TPU tunnel)
         self._face_cols = []
         for fc in self.faces:
             cols = [l for l in range(nloc)
-                    if float(jnp.abs(fc.phi[:, l]).max()) > 1e-14]
+                    if float(np.abs(fc.np_phi[:, l]).max()) > 1e-14]
             self._face_cols.append(cols)
 
         # stencil value tables (padded with zero coupling on ghost planes)
@@ -139,9 +142,20 @@ class GridHeatOperator:
             self.vals_stiff = self.st.st_stiff
         self._offsets = self.st.offsets
 
-        # mass row sums M @ 1 (for the constant-source term)
-        ones = jnp.ones(self.grid, dtype=op.dtype)
-        self.M1g = self.matvec_vals(self.vals_mass, ones)
+        # mass row sums M @ 1 (for the constant-source term) — computed in
+        # numpy at setup (an eager device stencil apply costs ~60 tunnel
+        # round trips)
+        vm_np = self.st.np_mass
+        if self.pad0:
+            pc = [(0, 0), (0, self.pad0)] + [(0, 0)] * (self.d - 1)
+            vm_np = np.pad(vm_np, pc)
+        m1 = np.zeros(self.grid)
+        xp = np.pad(np.ones(self.grid), 1)
+        for o, off in enumerate(self._offsets):
+            sl = tuple(slice(int(v), int(v) + g)
+                       for v, g in zip(off, self.grid))
+            m1 += vm_np[o] * xp[sl]
+        self.M1g = jnp.asarray(m1, dtype=op.dtype)
         self.M1 = self.M1g.reshape(-1) if not self.pad0 else None
 
         # stencil-offset id for a (l, m) corner pair: StencilMatrix's

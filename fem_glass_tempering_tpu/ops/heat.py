@@ -82,19 +82,31 @@ class HeatOperator:
         f32 = lambda a: jnp.asarray(a, dtype=dtype)
         i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 
+        # numpy sources retained for downstream SETUP consumers
+        # (StencilMatrix/EllMatrix/GridHeatOperator): reading them back
+        # from the device (np.asarray on a jax.Array) is a host transfer
+        # that can stall indefinitely through a remote-TPU tunnel
+        self.np_dofmap = fs.dofmap
+        self.np_phi = np.asarray(cg.phi)
+        self.np_b_dofmap = fs.dofmap[bg.cell]
+        self.np_b_qw = np.asarray(bg.qweights)
+        self.np_b_phi = np.asarray(bg.phi)
+
         self.dofmap = i32(fs.dofmap)                      # (c, l)
         # uniform box meshes: all cells congruent -> single-cell tables
         # ((q,) weights, (q,l,g) gradients) instead of O(n_cells) arrays
         self.uniform = mesh.structured is not None
         if self.uniform:
-            self.qw = f32(np.asarray(cg.qweights[0]))     # (q,)
-            self.gphi = f32(np.asarray(cg.grad_phys[0]))  # (q, l, g)
+            self.np_qw = np.asarray(cg.qweights[0])
+            self.np_gphi = np.asarray(cg.grad_phys[0])
         else:
-            self.qw = f32(cg.qweights)                    # (c, q)
-            self.gphi = f32(cg.grad_phys)                 # (c, q, l, g)
+            self.np_qw = np.asarray(cg.qweights)
+            self.np_gphi = np.asarray(cg.grad_phys)
+        self.qw = f32(self.np_qw)
+        self.gphi = f32(self.np_gphi)
         self.phi = f32(cg.phi)                            # (q, l)
 
-        self.b_dofmap = i32(fs.dofmap[bg.cell])           # (f, l)
+        self.b_dofmap = i32(self.np_b_dofmap)             # (f, l)
         self.b_qw = f32(bg.qweights)                      # (f, q)
         self.b_phi = f32(bg.phi)                          # (f, q, l)
 
@@ -109,15 +121,25 @@ class HeatOperator:
 
         if self.is_dg:
             ig = build_interior_geometry(mesh, fs, quad_degree)
-            self.i_dofmap_p = i32(fs.dofmap[ig.cell_p])
-            self.i_dofmap_m = i32(fs.dofmap[ig.cell_m])
-            self.i_qw = f32(ig.qweights)
-            self.i_phi_p = f32(ig.phi_p)
-            self.i_phi_m = f32(ig.phi_m)
+            self.np_i = {
+                "dofmap_p": fs.dofmap[ig.cell_p],
+                "dofmap_m": fs.dofmap[ig.cell_m],
+                "qw": np.asarray(ig.qweights),
+                "phi_p": np.asarray(ig.phi_p),
+                "phi_m": np.asarray(ig.phi_m),
+                "dnphi_p": np.einsum("fqlg,fqg->fql", ig.grad_p, ig.normal_p),
+                "dnphi_m": np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p),
+                "h_p": np.asarray(ig.h_p),
+            }
+            self.i_dofmap_p = i32(self.np_i["dofmap_p"])
+            self.i_dofmap_m = i32(self.np_i["dofmap_m"])
+            self.i_qw = f32(self.np_i["qw"])
+            self.i_phi_p = f32(self.np_i["phi_p"])
+            self.i_phi_m = f32(self.np_i["phi_m"])
             # normal derivative tables: grad(phi) . n+  -> (f, q, l)
-            self.i_dnphi_p = f32(np.einsum("fqlg,fqg->fql", ig.grad_p, ig.normal_p))
-            self.i_dnphi_m = f32(np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p))
-            self.i_h_p = f32(ig.h_p)                      # (f,)
+            self.i_dnphi_p = f32(self.np_i["dnphi_p"])
+            self.i_dnphi_m = f32(self.np_i["dnphi_m"])
+            self.i_h_p = f32(self.np_i["h_p"])            # (f,)
 
         # Dirichlet lifting (working replacement for the reference's broken
         # path, SURVEY.md §Quirks 3)

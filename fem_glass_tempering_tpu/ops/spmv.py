@@ -32,19 +32,19 @@ class EllMatrix:
         self.op = op
         fs = op.fs
         n = fs.n_scalar_dofs
-        dofmap = np.asarray(op.dofmap)          # (c, l) (possibly padded)
+        dofmap = np.asarray(op.np_dofmap)       # (c, l)
         nloc = dofmap.shape[1]
 
         # ---- collect (row, col) pairs from all coupling sources ----
         pairs = [np.stack(np.broadcast_arrays(
             dofmap[:, :, None], dofmap[:, None, :]), axis=-1).reshape(-1, 2)]
-        b_dofmap = np.asarray(op.b_dofmap)
+        b_dofmap = np.asarray(op.np_b_dofmap)
         if len(b_dofmap):
             pairs.append(np.stack(np.broadcast_arrays(
                 b_dofmap[:, :, None], b_dofmap[:, None, :]), axis=-1).reshape(-1, 2))
         if op.is_dg:
-            dp = np.asarray(op.i_dofmap_p)
-            dm = np.asarray(op.i_dofmap_m)
+            dp = np.asarray(op.np_i["dofmap_p"])
+            dm = np.asarray(op.np_i["dofmap_m"])
             for a, b in ((dp, dp), (dp, dm), (dm, dp), (dm, dm)):
                 pairs.append(np.stack(np.broadcast_arrays(
                     a[:, :, None], b[:, None, :]), axis=-1).reshape(-1, 2))
@@ -71,9 +71,9 @@ class EllMatrix:
                 dtype=np.int64)
 
         # ---- constant element matrices pre-assembled (numpy) ----
-        qw = np.asarray(op.qw)
-        phi = np.asarray(op.phi)
-        gphi = np.asarray(op.gphi)
+        qw = np.asarray(op.np_qw)
+        phi = np.asarray(op.np_phi)
+        gphi = np.asarray(op.np_gphi)
         if qw.ndim == 1:       # uniform-mesh compact tables ((q,), (q,l,g))
             nc = dofmap.shape[0]
             qw = np.broadcast_to(qw, (nc,) + qw.shape)
@@ -89,12 +89,12 @@ class EllMatrix:
         np.add.at(vals_stiff, idx, stiff_el.reshape(-1))
 
         if op.is_dg:
-            coef = op.c_diff * np.asarray(op.i_qw)                # (f, q)
-            php = np.asarray(op.i_phi_p)
-            phm = np.asarray(op.i_phi_m)
-            dnp_ = np.asarray(op.i_dnphi_p)
-            dnm = np.asarray(op.i_dnphi_m)
-            penh = (op.params.dg_penalty / np.asarray(op.i_h_p))[:, None]
+            coef = op.c_diff * op.np_i["qw"]                      # (f, q)
+            php = op.np_i["phi_p"]
+            phm = op.np_i["phi_m"]
+            dnp_ = op.np_i["dnphi_p"]
+            dnm = op.np_i["dnphi_m"]
+            penh = (op.params.dg_penalty / op.np_i["h_p"])[:, None]
             # d r_p / d T_p etc. — matches the residual's SIPG terms
             Jpp = (np.einsum("fq,fql,fqm->flm", coef * penh, php, php)
                    - 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnp_, php)
@@ -108,8 +108,8 @@ class EllMatrix:
             Jmm = (np.einsum("fq,fql,fqm->flm", coef * penh, phm, phm)
                    + 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnm, phm)
                    + 0.5 * np.einsum("fq,fql,fqm->flm", coef, phm, dnm))
-            dp = np.asarray(op.i_dofmap_p)
-            dm = np.asarray(op.i_dofmap_m)
+            dp = np.asarray(op.np_i["dofmap_p"])
+            dm = np.asarray(op.np_i["dofmap_m"])
             for J, (a, b) in ((Jpp, (dp, dp)), (Jpm, (dp, dm)),
                               (Jmp, (dm, dp)), (Jmm, (dm, dm))):
                 prs = np.stack(np.broadcast_arrays(

@@ -59,11 +59,12 @@ class StencilMatrix:
                 o = o * 3 + delta[..., i]
             return o * n + rows
 
-        # single-cell element matrices: op stores uniform (q,)/(q,l,g)
-        # tables on box meshes (all cells congruent)
-        qw = np.asarray(op.qw)
-        phi = np.asarray(op.phi)
-        gphi = np.asarray(op.gphi)
+        # single-cell element matrices from the operator's NUMPY sources
+        # (np.asarray on device arrays is a host readback that can stall
+        # through a remote-TPU tunnel)
+        qw = op.np_qw
+        phi = op.np_phi
+        gphi = op.np_gphi
         assert op.uniform and qw.ndim == 1
         mass1 = op.c_mass * np.einsum("q,ql,qm->lm", qw, phi, phi)
         stiff1 = op.c_diff * np.einsum("q,qlg,qmg->lm", qw, gphi, gphi)
@@ -88,10 +89,10 @@ class StencilMatrix:
         vals_mass = vals_mass.reshape(-1)
         vals_stiff = vals_stiff.reshape(-1)
         dtype = op.dtype
-        self.st_mass = jnp.asarray(
-            vals_mass.reshape((self.n_off,) + self.grid), dtype=dtype)
-        self.st_stiff = jnp.asarray(
-            vals_stiff.reshape((self.n_off,) + self.grid), dtype=dtype)
+        self.np_mass = vals_mass.reshape((self.n_off,) + self.grid)
+        self.np_stiff = vals_stiff.reshape((self.n_off,) + self.grid)
+        self.st_mass = jnp.asarray(self.np_mass, dtype=dtype)
+        self.st_stiff = jnp.asarray(self.np_stiff, dtype=dtype)
 
         # host-side Gershgorin row statistics (numpy, kept for smoother
         # spectrum bounds at setup — solver/multigrid.py freeze_omegas):
@@ -103,13 +104,12 @@ class StencilMatrix:
         p = op.params
         b_abs = np.zeros(n)
         b_diag = np.zeros(n)
-        bdm = np.asarray(op.b_dofmap).astype(np.int64)
+        bdm = op.np_b_dofmap.astype(np.int64)
         if len(bdm):
             dflux0 = p.boundary_scale * (
                 4.0 * p.sigma * p.epsilon * p.T_0**3 + p.htc)
             blocks = dflux0 * np.einsum(
-                "fq,fql,fqm->flm", np.asarray(op.b_qw),
-                np.asarray(op.b_phi), np.asarray(op.b_phi))
+                "fq,fql,fqm->flm", op.np_b_qw, op.np_b_phi, op.np_b_phi)
             b_abs = np.bincount(bdm.reshape(-1),
                                 weights=np.abs(blocks).sum(axis=2).reshape(-1),
                                 minlength=n)
@@ -123,7 +123,7 @@ class StencilMatrix:
         }
 
         # boundary-block scatter positions into the stencil layout
-        b_dofmap = np.asarray(op.b_dofmap).astype(np.int64)
+        b_dofmap = op.np_b_dofmap.astype(np.int64)
         if len(b_dofmap):
             nb = b_dofmap.shape[1]
             b_rows = np.broadcast_to(b_dofmap[:, :, None],
@@ -219,9 +219,9 @@ class DGStencilMatrix:
         self.nloc, self.C, self.d = nloc, C, d
         p = op.params
 
-        qw = np.asarray(op.qw)
-        phi = np.asarray(op.phi)
-        gphi = np.asarray(op.gphi)
+        qw = op.np_qw
+        phi = op.np_phi
+        gphi = op.np_gphi
         if qw.ndim == 1:       # uniform-mesh compact tables
             m1 = op.c_mass * np.einsum("q,ql,qm->lm", qw, phi, phi)
             s1 = op.c_diff * np.einsum("q,qlg,qmg->lm", qw, gphi, gphi)
@@ -233,12 +233,12 @@ class DGStencilMatrix:
                                                qw, gphi, gphi)
 
         # ---- SIPG facet blocks (same formulas as EllMatrix / the residual) ----
-        coef = op.c_diff * np.asarray(op.i_qw)            # (f, q)
-        php = np.asarray(op.i_phi_p)
-        phm = np.asarray(op.i_phi_m)
-        dnp_ = np.asarray(op.i_dnphi_p)
-        dnm = np.asarray(op.i_dnphi_m)
-        penh = (p.dg_penalty / np.asarray(op.i_h_p))[:, None]
+        coef = op.c_diff * op.np_i["qw"]                  # (f, q)
+        php = op.np_i["phi_p"]
+        phm = op.np_i["phi_m"]
+        dnp_ = op.np_i["dnphi_p"]
+        dnm = op.np_i["dnphi_m"]
+        penh = (p.dg_penalty / op.np_i["h_p"])[:, None]
         Jpp = (np.einsum("fq,fql,fqm->flm", coef * penh, php, php)
                - 0.5 * np.einsum("fq,fql,fqm->flm", coef, dnp_, php)
                - 0.5 * np.einsum("fq,fql,fqm->flm", coef, php, dnp_))
@@ -253,8 +253,8 @@ class DGStencilMatrix:
                + 0.5 * np.einsum("fq,fql,fqm->flm", coef, phm, dnm))
 
         # cell-contiguous dofmap -> facet cell ids and lattice directions
-        cell_p = np.asarray(op.i_dofmap_p)[:, 0] // nloc
-        cell_m = np.asarray(op.i_dofmap_m)[:, 0] // nloc
+        cell_p = op.np_i["dofmap_p"][:, 0] // nloc
+        cell_m = op.np_i["dofmap_m"][:, 0] // nloc
         base = np.arange(nloc * nloc)
         flat_p = (cell_p[:, None] * (nloc * nloc) + base).reshape(-1)
         flat_m = (cell_m[:, None] * (nloc * nloc) + base).reshape(-1)
@@ -315,7 +315,7 @@ class DGStencilMatrix:
         self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
         self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
         # boundary (exterior facet) cells for the per-Newton radiation blocks
-        b_dofmap = np.asarray(op.b_dofmap)
+        b_dofmap = op.np_b_dofmap
         self.b_cell = (jnp.asarray(b_dofmap[:, 0] // nloc, dtype=jnp.int32)
                        if len(b_dofmap) else None)
         self.n = fs.n_scalar_dofs
