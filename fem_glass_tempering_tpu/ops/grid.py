@@ -320,7 +320,9 @@ class GridHeatOperator:
 
     def make_matvec(self, T: jnp.ndarray, dt):
         assert self.pad0 == 0, "flat API unavailable on a padded grid"
-        vals = self.stencil_values(T, dt)
+        # barrier: keep the materialized Jacobian values as a CG-loop
+        # input — XLA otherwise sinks their recomputation into the loop
+        vals = jax.lax.optimization_barrier(self.stencil_values(T, dt))
         if self.has_bc:
             mask = self.bc_mask
             return lambda v: jnp.where(
@@ -332,7 +334,7 @@ class GridHeatOperator:
 
     def make_matvec_g(self, Tg: jnp.ndarray, dt):
         """Grid-shaped Jacobian action for the sharded step."""
-        vals = self.stencil_values_g(Tg, dt)
+        vals = jax.lax.optimization_barrier(self.stencil_values_g(Tg, dt))
         if self.has_bc:
             mask = self.bc_mask_g
             return lambda v: jnp.where(

@@ -167,7 +167,12 @@ class StencilMatrix:
         return self.matvec_g(vals, x.reshape(self.grid)).reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
-        vals = self.values_at(T, dt)
+        # barrier: the values are loop-invariant across the CG while_loop,
+        # but XLA may SINK their computation into the loop body to save
+        # memory — recomputing ~3 full-grid arrays every iteration
+        # (measured: V-cycles at 3-6x their bandwidth bound). The barrier
+        # pins the materialized values as a loop input.
+        vals = jax.lax.optimization_barrier(self.values_at(T, dt))
         if self.op.has_bc:
             mask = self.op.bc_mask
             return lambda v: jnp.where(
@@ -365,7 +370,7 @@ class DGStencilMatrix:
         return y.reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
-        vals = self.values_at(T, dt)
+        vals = jax.lax.optimization_barrier(self.values_at(T, dt))
         if self.op.has_bc:
             mask = self.op.bc_mask
             return lambda v: jnp.where(

@@ -79,3 +79,47 @@ def test_dg_cell_residual_jvp_linear():
     y2 = res(Tc + dTc, Tpc, qw, gphi)
     np.testing.assert_allclose(np.asarray(dy), np.asarray(y2 - y),
                                rtol=1e-8, atol=1e-12)
+
+
+def test_pallas_stencil_matvec_interpret():
+    """Pallas 27-point stencil kernel vs the XLA pad+slice formulation
+    (interpreter mode — the real-TPU timing lives in BENCH.md). Stencil
+    values are zero where lattice neighbors are absent, which is what
+    legalizes the kernel's flat-minor-axis shifts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fem_glass_tempering_tpu.ops.pallas_stencil import (
+        stencil_matvec_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    for grid in [(9, 7, 5), (12, 6, 3), (10, 8)]:
+        d = len(grid)
+        n = int(np.prod(grid))
+        vals = rng.standard_normal((3 ** d,) + grid).astype(np.float32)
+        for o, off in enumerate(np.ndindex(*([3] * d))):
+            for a, da in enumerate(off):
+                sl = [slice(None)] * d
+                if da == 0:
+                    sl[a] = slice(0, 1)
+                elif da == 2:
+                    sl[a] = slice(grid[a] - 1, grid[a])
+                else:
+                    continue
+                vals[(o,) + tuple(sl)] = 0.0
+        x = rng.standard_normal(n).astype(np.float32)
+
+        xp = jnp.pad(jnp.asarray(x).reshape(grid), 1)
+        acc = jnp.zeros(grid, dtype=jnp.float32)
+        for o, off in enumerate(np.ndindex(*([3] * d))):
+            st = tuple(int(v) for v in off)
+            acc = acc + jnp.asarray(vals[o]) * jax.lax.slice(
+                xp, st, tuple(s + g for s, g in zip(st, grid)))
+        y_ref = np.asarray(acc).reshape(-1)
+
+        y_pl = np.asarray(stencil_matvec_pallas(
+            jnp.asarray(vals), jnp.asarray(x), grid, block_x=8,
+            interpret=True))
+        np.testing.assert_allclose(y_pl, y_ref, rtol=2e-5, atol=2e-5)
