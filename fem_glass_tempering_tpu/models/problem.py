@@ -175,7 +175,8 @@ class ThermoViscoProblem:
         if getattr(sc, "grid_native", "auto") != "off" and flux_marker is None:
             from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
             try:
-                self._grid = GridHeatOperator(self.heat)
+                self._grid = GridHeatOperator(
+                    self.heat, use_pallas=self.config.use_pallas)
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
@@ -241,7 +242,8 @@ class ThermoViscoProblem:
                 flux_marker=flux_marker, form=heat_form)
             if self._grid is not None:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
-                self._grid32 = GridHeatOperator(self._heat32)
+                self._grid32 = GridHeatOperator(
+                    self._heat32, use_pallas=self.config.use_pallas)
             if sc.preconditioner == "mg":
                 from fem_glass_tempering_tpu.fem.functionspace import (
                     FunctionSpace,

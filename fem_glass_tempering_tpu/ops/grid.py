@@ -50,7 +50,8 @@ class GridHeatOperator:
     StencilMatrix.make_matvec, valid for CG-1 spaces on uniform box meshes
     with the default whole-boundary flux (no flux_marker, no MMS source)."""
 
-    def __init__(self, op: HeatOperator, pad_axis0: int = 0):
+    def __init__(self, op: HeatOperator, pad_axis0: int = 0,
+                 use_pallas: bool = False):
         """`pad_axis0` appends that many ghost node planes along grid axis
         0, wired as identity rows (residual T - T_0, unit diagonal,
         identity matvec) — used by the GSPMD path to make the sharded axis
@@ -66,6 +67,9 @@ class GridHeatOperator:
         self.op = op
         self.params = op.params
         self.dtype = op.dtype
+        # hand-tiled Pallas matvec for the CG loop (TPU, f32, d>=2);
+        # the XLA pad+slice path is the portable fallback
+        self.use_pallas = bool(use_pallas)
         self.st = StencilMatrix(op)
         self.pad0 = int(pad_axis0)
         self.grid = ((self.st.grid[0] + self.pad0,) + self.st.grid[1:]
@@ -318,19 +322,28 @@ class GridHeatOperator:
                     vals = vals.at[(o,) + sl].add(blk)
         return vals
 
+    def _mv_flat(self, vals):
+        """Flat-vector matvec apply from materialized values: Pallas
+        kernel when enabled (TPU f32 hot path), XLA pad+slice otherwise."""
+        if self.use_pallas and self.d >= 2:
+            from fem_glass_tempering_tpu.ops.pallas_stencil import (
+                stencil_matvec_pallas,
+            )
+            return lambda v: stencil_matvec_pallas(vals, v, self.grid)
+        return lambda v: self.matvec_vals(
+            vals, v.reshape(self.grid)).reshape(-1)
+
     def make_matvec(self, T: jnp.ndarray, dt):
         assert self.pad0 == 0, "flat API unavailable on a padded grid"
         # barrier: keep the materialized Jacobian values as a CG-loop
         # input — XLA otherwise sinks their recomputation into the loop
         vals = jax.lax.optimization_barrier(self.stencil_values(T, dt))
+        mv = self._mv_flat(vals)
         if self.has_bc:
             mask = self.bc_mask
             return lambda v: jnp.where(
-                mask, v,
-                self.matvec_vals(vals, jnp.where(mask, 0.0, v)
-                                 .reshape(self.grid)).reshape(-1))
-        return lambda v: self.matvec_vals(
-            vals, v.reshape(self.grid)).reshape(-1)
+                mask, v, mv(jnp.where(mask, 0.0, v)))
+        return mv
 
     def make_matvec_g(self, Tg: jnp.ndarray, dt):
         """Grid-shaped Jacobian action for the sharded step."""

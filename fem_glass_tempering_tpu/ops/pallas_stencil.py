@@ -79,7 +79,9 @@ def stencil_matvec_pallas(vals: jnp.ndarray, x: jnp.ndarray,
     # (1 halo row above, BX rows, 7 spare below) — spare rows multiply
     # zero-padded values.
     W = BX + 8
-    xp = jnp.pad(x2, ((1, 7 + pad_rows), (P, P)))
+    # lanes of the DMA'd window must be 128-aligned too
+    LP = -(-(M + 2 * P) // 128) * 128
+    xp = jnp.pad(x2, ((1, 7 + pad_rows), (P, LP - M - P)))
     v2 = jnp.pad(v2, ((0, 0), (0, pad_rows), (0, 0)))
     n_blocks = gxp // BX
 
@@ -111,7 +113,7 @@ def stencil_matvec_pallas(vals: jnp.ndarray, x: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((gxp, M), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((W, M + 2 * P), x.dtype),
+            pltpu.VMEM((W, LP), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
