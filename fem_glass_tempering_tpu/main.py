@@ -53,7 +53,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir",
                    help="capture a jax.profiler device trace into this dir")
     p.add_argument("--use-pallas", action="store_true",
-                   help="hand-fused Pallas kernels for the material chain")
+                   help="hand-fused Pallas kernels (material chain + "
+                        "CG-loop stencil matvec)")
+    p.add_argument("--preconditioner", choices=("jacobi", "mg", "amg", "none"),
+                   help="CG preconditioner: geometric MG / DG p-MG on box "
+                        "meshes, smoothed-aggregation AMG elsewhere")
+    p.add_argument("--linear-operator",
+                   choices=("matrix_free", "assembled", "stencil"))
+    p.add_argument("--cg-dtype", choices=("same", "float32"),
+                   help="float32 runs the inner CG in f32 under an f64 "
+                        "outer Newton (mixed precision)")
+    p.add_argument("--heat-form", choices=("reference", "physical"),
+                   help="'physical' assembles the dimensional rho*cp/k "
+                        "equation instead of the reference's "
+                        "non-dimensionalized form")
     return p
 
 
@@ -111,6 +124,16 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, dtype=args.dtype)
     if args.use_pallas:
         cfg = dataclasses.replace(cfg, use_pallas=True)
+    if args.heat_form:
+        cfg = dataclasses.replace(cfg, heat_form=args.heat_form)
+    sc = cfg.solver
+    if args.preconditioner:
+        sc = dataclasses.replace(sc, preconditioner=args.preconditioner)
+    if args.linear_operator:
+        sc = dataclasses.replace(sc, linear_operator=args.linear_operator)
+    if args.cg_dtype:
+        sc = dataclasses.replace(sc, cg_dtype=args.cg_dtype)
+    cfg = dataclasses.replace(cfg, solver=sc)
 
     if args.mesh:
         mesh = read_msh(args.mesh)

@@ -323,13 +323,18 @@ class GridHeatOperator:
         return vals
 
     def _mv_flat(self, vals):
-        """Flat-vector matvec apply from materialized values: Pallas
-        kernel when enabled (TPU f32 hot path), XLA pad+slice otherwise."""
+        """Flat-vector matvec apply from materialized values. Default is
+        the 2D-flattened XLA form (HBM roofline at 1M dofs, BENCH.md);
+        use_pallas selects the hand-tiled kernel (faster at sub-300k-dof
+        meshes where in-register rotates are cheap)."""
         if self.use_pallas and self.d >= 2:
             from fem_glass_tempering_tpu.ops.pallas_stencil import (
                 stencil_matvec_pallas,
             )
             return lambda v: stencil_matvec_pallas(vals, v, self.grid)
+        if self.d > 1 and not self.pad0:
+            vals2 = vals.reshape(vals.shape[0], self.grid[0], -1)
+            return lambda v: self.st.matvec_flat(vals2, v)
         return lambda v: self.matvec_vals(
             vals, v.reshape(self.grid)).reshape(-1)
 

@@ -220,3 +220,34 @@ def test_amg_unstructured_iteration_cut():
     mq = box_mesh_2d(16, 16, 1.0, 0.02, cell_type="quad")
     _, kg = run(mq, "mg", linear_operator="stencil")
     assert ka <= 3.0 * kg, f"AMG {ka} iters vs geometric MG {kg}"
+
+
+def test_dg_mixed_precision_with_column_mg():
+    """DG-1 mixed precision (f64 Newton / f32 CG) with the column-smoothed
+    p-multigrid — the production DG route on TPU (raw f32 DG diverges:
+    SIPG jumps amplify f32 representation noise of ~800 K fields)."""
+    import numpy as np
+
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+
+    mesh = box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    res = {}
+    for cgd in ("same", "float32"):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="DG", T_degree=1),
+            time=TimeConfig(0.0, 0.2, 0.1),
+            solver=SolverConfig(preconditioner="mg", linear_operator="stencil",
+                                newton_rtol=1e-10, newton_atol=1e-10,
+                                cg_rtol=1e-10, cg_max_it=20000, cg_dtype=cgd),
+            output=OutputConfig(write_every=0, formats=()),
+            dtype="float64",
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        res[cgd] = np.asarray(st.T)
+    np.testing.assert_allclose(res["float32"], res["same"], rtol=1e-10)
