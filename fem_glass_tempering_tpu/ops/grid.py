@@ -340,9 +340,7 @@ class GridHeatOperator:
 
     def make_matvec(self, T: jnp.ndarray, dt):
         assert self.pad0 == 0, "flat API unavailable on a padded grid"
-        # barrier: keep the materialized Jacobian values as a CG-loop
-        # input — XLA otherwise sinks their recomputation into the loop
-        vals = jax.lax.optimization_barrier(self.stencil_values(T, dt))
+        vals = self.stencil_values(T, dt)
         mv = self._mv_flat(vals)
         if self.has_bc:
             mask = self.bc_mask
@@ -352,7 +350,7 @@ class GridHeatOperator:
 
     def make_matvec_g(self, Tg: jnp.ndarray, dt):
         """Grid-shaped Jacobian action for the sharded step."""
-        vals = jax.lax.optimization_barrier(self.stencil_values_g(Tg, dt))
+        vals = self.stencil_values_g(Tg, dt)
         if self.has_bc:
             mask = self.bc_mask_g
             return lambda v: jnp.where(

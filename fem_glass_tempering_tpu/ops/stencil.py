@@ -198,11 +198,7 @@ class StencilMatrix:
         return acc.reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
-        # barrier: the values are loop-invariant across the CG while_loop,
-        # but XLA may SINK their computation into the loop body to save
-        # memory — recomputing ~3 full-grid arrays every iteration.
-        # The barrier pins the materialized values as a loop input.
-        vals = jax.lax.optimization_barrier(self.values_at(T, dt))
+        vals = self.values_at(T, dt)
         if self.d > 1:
             vals2 = vals.reshape(self.n_off, self.grid[0], -1)
             mv = lambda v: self.matvec_flat(vals2, v)
@@ -404,7 +400,7 @@ class DGStencilMatrix:
         return y.reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
-        vals = jax.lax.optimization_barrier(self.values_at(T, dt))
+        vals = self.values_at(T, dt)
         if self.op.has_bc:
             mask = self.op.bc_mask
             return lambda v: jnp.where(

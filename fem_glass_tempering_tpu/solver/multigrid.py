@@ -181,7 +181,7 @@ class GeometricMG:
                 f = (lambda op, T: lambda v: jax.jvp(
                     lambda u: op.residual(u, T, dt), (T,), (v,))[1])(op, T)
             matvecs.append(f)
-            d = jax.lax.optimization_barrier(lvl.op.jacobian_diag(T, dt))
+            d = lvl.op.jacobian_diag(T, dt)
             diags.append(d)
             if frozen is not None:
                 rhos.append(frozen[i])
