@@ -3,15 +3,20 @@
 Headline metric (BASELINE.md north star): wall-clock per coupled time step
 (implicit nonlinear heat solve + full viscoelastic material chain) on a 3D
 hex plate of 160x160x40 cells = 1,062,761 CG-1 dofs, f32, Newton/CG rtol
-1e-5, gather-free grid-native operators (ops/grid.py) with the geometric
-multigrid preconditioner (solver/multigrid.py) — the production TPU path.
+1e-5, gather-free grid-native operators (ops/grid.py).
 
-vs_baseline is the IDENTICAL jitted program on the XLA *CPU* backend in a
-clean subprocess (the axon sitecustomize forces the TPU platform, so the
-subprocess strips it). This is an XLA-CPU stand-in, NOT a measured
-dolfinx/PETSc number — the dolfinx stack cannot be installed in this
-environment (no network); see BENCH.md for the differential-parity oracle
-that anchors correctness instead.
+Per-backend solver choice (best measured config each, BENCH.md):
+  - TPU: geometric multigrid preconditioner (V-cycle ~5 ms, ~45 CG
+    iterations/step).
+  - CPU baseline: Jacobi (XLA-CPU compiles the deep MG V-cycle program
+    for ~15+ minutes and runs it SLOWER than Jacobi at this size —
+    measured; Jacobi compiles in ~1 min).
+
+vs_baseline is the XLA *CPU* backend in a clean subprocess (own process
+group, file-redirected output, hard timeout) — an XLA-CPU stand-in, NOT
+a measured dolfinx/PETSc number: the dolfinx stack cannot be installed
+in this environment (no network); the differential-parity oracle in
+validation/oracle_1d.py anchors correctness instead.
 
 Prints ONE JSON line on stdout:
   {"metric": "...", "value": <ms/step>, "unit": "ms", "vs_baseline": <cpu/tpu>}
@@ -22,12 +27,15 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 NX, NY, NZ = 160, 160, 40       # 1,024,000 hex cells, 1,062,761 CG-1 dofs
-TIMED_STEPS = 20
+TIMED_STEPS = 20                # TPU window
+CPU_STEPS = 6                   # CPU window (same transient start)
 V5E_HBM_GBS = 819.0             # v5e peak HBM bandwidth, for the roofline note
 
 
@@ -35,7 +43,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_backend() -> float:
+def run_backend(steps: int, preconditioner: str) -> float:
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -54,11 +62,12 @@ def run_backend() -> float:
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1,
                     sigma_family="CG", sigma_degree=1),
-        time=TimeConfig(0.0, TIMED_STEPS * 0.1, 0.1),
+        time=TimeConfig(0.0, steps * 0.1, 0.1),
         solver=SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
-                            cg_rtol=1e-5, cg_max_it=500,
+                            cg_rtol=1e-5, cg_max_it=4000,
                             linear_operator="stencil",
-                            preconditioner="mg", mg_smoother="chebyshev"),
+                            preconditioner=preconditioner,
+                            mg_smoother="chebyshev"),
         output=OutputConfig(write_every=0, formats=()),
         dtype="float32",
     )
@@ -66,11 +75,11 @@ def run_backend() -> float:
     prob.setup()
     log(f"setup: {time.perf_counter() - t0:.0f}s "
         f"({prob.fs_T.n_scalar_dofs} dofs, backend "
-        f"{jax.devices()[0].platform})")
+        f"{jax.devices()[0].platform}, pc={preconditioner})")
 
     # warmup + compile: same program, run on the REAL initial transient
     t0 = time.perf_counter()
-    state, ok, _, _ = prob._multi_step_jit(prob.state, TIMED_STEPS)
+    state, ok, _, _ = prob._multi_step_jit(prob.state, steps)
     jax.block_until_ready(state)
     log(f"compile+warmup: {time.perf_counter() - t0:.0f}s")
     assert bool(ok), "Newton failed in warmup"
@@ -79,49 +88,69 @@ def run_backend() -> float:
     # and would flatter the number); program identical -> cache hit
     state0 = prob.engine.init_state()
     t0 = time.perf_counter()
-    state, ok, ni, ki = prob._multi_step_jit(state0, TIMED_STEPS)
+    state, ok, ni, ki = prob._multi_step_jit(state0, steps)
     jax.block_until_ready(state)
     elapsed = time.perf_counter() - t0
     assert bool(ok), "Newton failed in timed run"
-    ms = elapsed / TIMED_STEPS * 1e3
-    # bandwidth estimate: each preconditioned CG iteration streams the
-    # 27-point stencil values (27*4 B/dof) + solution/residual traffic
-    # (~3*4 B/dof) on the fine level, plus ~1.4x for the V-cycle's coarse
-    # levels and smoothing sweeps — a LOWER bound on achieved HBM traffic.
+    ms = elapsed / steps * 1e3
     n = prob.fs_T.n_scalar_dofs
-    bytes_per_iter = n * (27 + 3) * 4 * 2.4   # V(1,1)+cheb ~2.4 matvec-equiv
+    # bandwidth estimate (lower bound: CG-loop stencil traffic only)
+    mult = 2.4 if preconditioner == "mg" else 1.0
+    bytes_per_iter = n * (27 + 3) * 4 * mult
     gbs = int(ki) * bytes_per_iter / elapsed / 1e9
     log(f"timed: {ms:.2f} ms/step, newton {int(ni)}, cg {int(ki)} "
-        f"(~{int(ki)/TIMED_STEPS:.0f}/step); est HBM traffic "
-        f"{gbs:.0f} GB/s = {100*gbs/V5E_HBM_GBS:.0f}% of v5e peak "
-        f"(lower bound; CG-loop traffic only)")
+        f"(~{int(ki)/steps:.0f}/step); est HBM traffic {gbs:.0f} GB/s "
+        f"= {100*gbs/V5E_HBM_GBS:.0f}% of v5e peak (lower bound)")
     return ms
+
+
+def _cpu_baseline() -> float | None:
+    """Run the CPU baseline in its own process group with file-redirected
+    output (pipes can block past the timeout when helper grandchildren
+    inherit them) and a hard group kill."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize injection
+    out_path = tempfile.mktemp(prefix="bench_cpu_", suffix=".log")
+    timeout = float(os.environ.get("BENCH_CPU_TIMEOUT", "900"))
+    try:
+        with open(out_path, "w") as out:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--backend-only",
+                 "--cpu-config"],
+                env=env, stdout=out, stderr=out, start_new_session=True)
+            try:
+                proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                os.killpg(proc.pid, signal.SIGKILL)
+                log(f"CPU baseline timed out after {timeout:.0f}s "
+                    f"(vs_baseline=null)")
+                return None
+        cpu_ms = None
+        with open(out_path) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{") and "ms_per_step" in line:
+                    cpu_ms = json.loads(line)["ms_per_step"]
+                elif line and not line.startswith("WARNING"):
+                    log("cpu| " + line)
+        return cpu_ms
+    except Exception as e:
+        log(f"CPU baseline failed: {e!r}")
+        return None
 
 
 def main() -> None:
     if "--backend-only" in sys.argv:
-        print(json.dumps({"ms_per_step": run_backend()}))
+        if "--cpu-config" in sys.argv:
+            ms = run_backend(CPU_STEPS, "jacobi")
+        else:
+            ms = run_backend(TIMED_STEPS, "mg")
+        print(json.dumps({"ms_per_step": ms}))
         return
 
-    # CPU baseline in a subprocess (clean backend selection)
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env.pop("PYTHONPATH", None)  # drop the axon sitecustomize injection
-    cpu_ms = None
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--backend-only"],
-            env=env, capture_output=True, text=True, timeout=3000,
-        )
-        sys.stderr.write(out.stderr)
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                cpu_ms = json.loads(line)["ms_per_step"]
-    except Exception:
-        cpu_ms = None
-
-    tpu_ms = run_backend()
+    cpu_ms = _cpu_baseline()
+    tpu_ms = run_backend(TIMED_STEPS, "mg")
     result = {
         "metric": "3d_plate_tempering_time_per_step_1Mdofs",
         "value": round(tpu_ms, 3),
