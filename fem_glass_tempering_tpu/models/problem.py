@@ -190,7 +190,13 @@ class ThermoViscoProblem:
                 cg_rtol=min(self.config.solver.cg_rtol, 1e-8))
         self._mg = None
         self._dg_mg = None
-        if sc.preconditioner == "mg":
+        # mixed precision replaces the f64 preconditioner with its f32
+        # twin (built below) — skip building/freezing the f64 hierarchy:
+        # it would be dead weight, and its setup runs f64 batched
+        # factorizations the TPU backend cannot compile
+        self._mixed = (getattr(sc, "cg_dtype", "same") == "float32"
+                       and self.dtype == jnp.float64)
+        if sc.preconditioner == "mg" and not self._mixed:
             if (self.mesh.structured is None or self.fs_T.degree != 1
                     or self.fs_T.family not in ("CG", "DG")):
                 raise ValueError(
@@ -230,8 +236,6 @@ class ThermoViscoProblem:
         # f64 — the Krylov loop is the hot path, the f64 residual and the
         # incremental test keep Newton at reference accuracy, rtol 1e-12
         # per ThermoViscoProblem.py:336)
-        self._mixed = (getattr(sc, "cg_dtype", "same") == "float32"
-                       and self.dtype == jnp.float64)
         self._heat32 = self._grid32 = self._mg32 = self._dg_mg32 = None
         if self._mixed:
             f32 = jnp.float32
@@ -245,6 +249,11 @@ class ThermoViscoProblem:
                 self._grid32 = GridHeatOperator(
                     self._heat32, use_pallas=self.config.use_pallas)
             if sc.preconditioner == "mg":
+                if (self.mesh.structured is None or self.fs_T.degree != 1
+                        or self.fs_T.family not in ("CG", "DG")):
+                    raise ValueError(
+                        "preconditioner='mg' needs a structured box mesh "
+                        "with a CG-1 or DG-1 temperature space")
                 from fem_glass_tempering_tpu.fem.functionspace import (
                     FunctionSpace,
                 )
