@@ -347,6 +347,12 @@ class DGStencilMatrix:
             self.Bp_cells = jnp.asarray(Bp_cells, dtype=op.dtype)
             self.Bm_cells = jnp.asarray(Bm_cells, dtype=op.dtype)
 
+        # numpy copies retained for host-side setup (smoother freezing —
+        # eager device ops at setup are tunnel round trips)
+        self.np_self_mass = self_mass
+        self.np_self_stiff = self_stiff
+        self.np_Bp = [np.asarray(b) for b in Bp]
+        self.np_Bm = [np.asarray(b) for b in Bm]
         self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
         self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
         # boundary (exterior facet) cells for the per-Newton radiation blocks

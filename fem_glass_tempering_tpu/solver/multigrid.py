@@ -471,23 +471,109 @@ class DGMultigrid:
         """Build the smoother factors ONCE at the initial state, estimate
         rho(Z^{-1}A) by power iteration, and freeze both (plus the coarse
         hierarchy's smoother spectra) — same rationale as
-        GeometricMG.freeze_omegas: only the small boundary linearization
-        moves with T, and a frozen SPD smoother is still a valid
-        preconditioner."""
-        T_dg0 = jnp.asarray(T_dg0, dtype=self.dtype)
-        data = self._zsolve_data(T_dg0, dt)
-        zsolve = lambda r: self._zsolve_apply(data, r)
-        mv = self.stencil.make_matvec(T_dg0, dt)
-        n = T_dg0.shape[0]
-        v = jnp.sin(jnp.arange(n, dtype=self.dtype) * 0.7) + 0.01
+        GeometricMG.freeze_omegas. Everything runs HOST-SIDE in numpy
+        (the previous eager-device version cost hundreds of remote-TPU
+        tunnel round trips at setup) and only the final factor arrays are
+        placed on the device."""
+        st = self.stencil
+        p = st.op.params
+        C, nloc, d = st.C, st.nloc, st.d
+        T0 = float(np.asarray(T_dg0).reshape(-1)[0])
+
+        # values_at at a CONSTANT initial temperature, in numpy
+        vals = st.np_self_mass + dt * st.np_self_stiff
+        bdm = st.op.np_b_dofmap
+        if len(bdm):
+            dflux0 = p.boundary_scale * (
+                4.0 * p.sigma * p.epsilon * T0**3 + p.htc)
+            blocks = dflux0 * dt * np.einsum(
+                "fq,fql,fqm->flm", st.op.np_b_qw, st.op.np_b_phi,
+                st.op.np_b_phi)
+            b_cell = bdm[:, 0] // nloc
+            base = np.arange(nloc * nloc)
+            flat = (b_cell[:, None] * (nloc * nloc) + base).reshape(-1)
+            vals = (vals.reshape(-1) + np.bincount(
+                flat, weights=blocks.reshape(-1),
+                minlength=C * nloc * nloc)).reshape(C, nloc, nloc)
+
+        Bp = [b * dt for b in st.np_Bp]
+        Bm = [b * dt for b in st.np_Bm]
+
+        def np_matvec(x):
+            xg = x.reshape(st.cell_dims + (nloc,))
+            y = np.einsum("clm,cm->cl", vals,
+                          x.reshape(C, nloc)).reshape(xg.shape)
+            for a in range(d):
+                for B, sign in ((Bp[a], +1), (Bm[a], -1)):
+                    padc = [(0, 0)] * (d + 1)
+                    padc[a] = (0, 1) if sign > 0 else (1, 0)
+                    xp = np.pad(xg, padc)
+                    sl = [slice(None)] * (d + 1)
+                    sl[a] = (slice(1, None) if sign > 0
+                             else slice(0, xg.shape[a]))
+                    y = y + xp[tuple(sl)] @ B.T
+            return y.reshape(-1)
+
+        if self.smoother in ("jacobi", "chebyshev"):
+            diag = np.einsum("cll->cl", vals).reshape(-1)
+            zsolve = lambda r: r / diag
+            data = {"diag": jnp.asarray(diag, dtype=self.dtype)}
+        elif self.smoother == "block":
+            inv_self = np.linalg.inv(vals)
+            zsolve = lambda r: np.einsum(
+                "clm,cm->cl", inv_self, r.reshape(C, nloc)).reshape(-1)
+            data = {"inv_self": jnp.asarray(inv_self, dtype=self.dtype)}
+        else:
+            a = self.col_axis
+            dims = st.cell_dims
+            nzc = dims[a]
+            ncol = C // nzc
+            perm = tuple(i for i in range(d) if i != a) + (a,)
+            inv_perm = tuple(int(i) for i in np.argsort(perm))
+            A = vals.reshape(dims + (nloc, nloc))
+            A = np.transpose(A, perm + (d, d + 1)).reshape(
+                ncol, nzc, nloc, nloc)
+            invD = [np.linalg.inv(A[:, 0])]
+            Ls = []
+            for k in range(1, nzc):
+                Lk = np.einsum("lm,cmk->clk", Bm[a], invD[-1])
+                Dk = A[:, k] - np.einsum("clk,km->clm", Lk, Bp[a])
+                invD.append(np.linalg.inv(Dk))
+                Ls.append(Lk)
+
+            def zsolve(r):
+                rg = r.reshape(dims + (nloc,))
+                rg = np.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
+                y = [rg[:, 0]]
+                for k in range(1, nzc):
+                    y.append(rg[:, k] - np.einsum(
+                        "clk,ck->cl", Ls[k - 1], y[-1]))
+                x = [None] * nzc
+                x[-1] = np.einsum("clm,cm->cl", invD[-1], y[-1])
+                for k in range(nzc - 2, -1, -1):
+                    x[k] = np.einsum("clm,cm->cl", invD[k],
+                                     y[k] - x[k + 1] @ Bp[a].T)
+                xg = np.stack(x, axis=1)
+                shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+                xg = xg.reshape(shape_perm)
+                xg = np.transpose(xg, inv_perm + (d,))
+                return xg.reshape(-1)
+
+            data = {"invD": [jnp.asarray(m, dtype=self.dtype) for m in invD],
+                    "Ls": [jnp.asarray(m, dtype=self.dtype) for m in Ls],
+                    "BpT": jnp.asarray(Bp[a].T, dtype=self.dtype)}
+
+        n = C * nloc
+        v = np.sin(np.arange(n) * 0.7) + 0.01
         rho = 1.0
         for _ in range(12):
-            w = zsolve(mv(v))
-            rho = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
-            v = w / jnp.linalg.norm(w)
+            w = zsolve(np_matvec(v))
+            rho = float(np.linalg.norm(w) / np.linalg.norm(v))
+            v = w / np.linalg.norm(w)
         self._frozen_rho = rho * 1.05
         self._frozen_smoother_data = data
-        self.cg_mg.freeze_omegas(self.restrict_state(T_dg0), dt)
+        self.cg_mg.freeze_omegas(self.restrict_state(
+            jnp.asarray(T_dg0, dtype=self.dtype)), dt)
 
     # ---- apply -------------------------------------------------------
     def preconditioner(self, T_dg, dt):
