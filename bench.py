@@ -5,12 +5,13 @@ Headline metric (BASELINE.md north star): wall-clock per coupled time step
 hex plate of 160x160x40 cells = 1,062,761 CG-1 dofs, f32, Newton/CG rtol
 1e-5, gather-free grid-native operators (ops/grid.py).
 
-Per-backend solver choice (best measured config each, BENCH.md):
-  - TPU: geometric multigrid preconditioner (V-cycle ~5 ms, ~45 CG
-    iterations/step).
-  - CPU baseline: Jacobi (XLA-CPU compiles the deep MG V-cycle program
-    for ~15+ minutes and runs it SLOWER than Jacobi at this size —
-    measured; Jacobi compiles in ~1 min).
+vs_baseline is MEASURED at the largest size the XLA-CPU backend finishes
+inside the bench timeout: 64x64x16 (71,825 dofs), SAME 6-step early
+transient window on both backends (the hardest steps; symmetric windows
+per ADVICE round 2), best config per backend (both Jacobi at this size,
+BENCH.md). At the 1M headline size the CPU cannot finish a single step
+window inside any sane timeout — an unbounded run measured >=268 s/step
+(BENCH.md), recorded here as vs_baseline_1m_lower_bound.
 
 vs_baseline is the XLA *CPU* backend in a clean subprocess (own process
 group, file-redirected output, hard timeout) — an XLA-CPU stand-in, NOT
@@ -34,8 +35,10 @@ import tempfile
 import time
 
 NX, NY, NZ = 160, 160, 40       # 1,024,000 hex cells, 1,062,761 CG-1 dofs
-TIMED_STEPS = 20                # TPU window
-CPU_STEPS = 6                   # CPU window (same transient start)
+TIMED_STEPS = 20                # headline TPU window
+AUX_NX, AUX_NY, AUX_NZ = 64, 64, 16   # 71,825 dofs: CPU-feasible size
+AUX_STEPS = 6                   # symmetric window, both backends
+CPU_1M_MS_LOWER_BOUND = 268_000.0   # measured unbounded XLA-CPU run, BENCH.md
 V5E_HBM_GBS = 819.0             # v5e peak HBM bandwidth, for the roofline note
 
 
@@ -43,7 +46,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_backend(steps: int, preconditioner: str) -> float:
+def run_backend(steps: int, preconditioner: str,
+                nx: int = NX, ny: int = NY, nz: int = NZ) -> float:
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -58,7 +62,7 @@ def run_backend(steps: int, preconditioner: str) -> float:
     from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
 
     t0 = time.perf_counter()
-    mesh = box_mesh_3d(NX, NY, NZ, lx=1.0, ly=1.0, lz=0.01)
+    mesh = box_mesh_3d(nx, ny, nz, lx=1.0, ly=1.0, lz=0.01)
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1,
                     sigma_family="CG", sigma_degree=1),
@@ -104,28 +108,33 @@ def run_backend(steps: int, preconditioner: str) -> float:
     return ms
 
 
-def _cpu_baseline() -> float | None:
-    """Run the CPU baseline in its own process group with file-redirected
-    output (pipes can block past the timeout when helper grandchildren
-    inherit them) and a hard group kill."""
+def _start_cpu_baseline():
+    """Launch the CPU aux baseline in its own process group with
+    file-redirected output (pipes can block past the timeout when helper
+    grandchildren inherit them). Returns (proc, out_path, deadline)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize injection
     out_path = tempfile.mktemp(prefix="bench_cpu_", suffix=".log")
     timeout = float(os.environ.get("BENCH_CPU_TIMEOUT", "900"))
+    out = open(out_path, "w")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--backend-only",
+         "--cpu-config"],
+        env=env, stdout=out, stderr=out, start_new_session=True)
+    return proc, out, out_path, time.monotonic() + timeout
+
+
+def _finish_cpu_baseline(proc, out, out_path, deadline) -> float | None:
     try:
-        with open(out_path, "w") as out:
-            proc = subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--backend-only",
-                 "--cpu-config"],
-                env=env, stdout=out, stderr=out, start_new_session=True)
-            try:
-                proc.wait(timeout=timeout)
-            except subprocess.TimeoutExpired:
-                os.killpg(proc.pid, signal.SIGKILL)
-                log(f"CPU baseline timed out after {timeout:.0f}s "
-                    f"(vs_baseline=null)")
-                return None
+        try:
+            proc.wait(timeout=max(1.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            os.killpg(proc.pid, signal.SIGKILL)
+            log("CPU baseline timed out (vs_baseline=null)")
+            return None
+        finally:
+            out.close()
         cpu_ms = None
         with open(out_path) as f:
             for line in f:
@@ -143,19 +152,34 @@ def _cpu_baseline() -> float | None:
 def main() -> None:
     if "--backend-only" in sys.argv:
         if "--cpu-config" in sys.argv:
-            ms = run_backend(CPU_STEPS, "jacobi")
+            ms = run_backend(AUX_STEPS, "jacobi", AUX_NX, AUX_NY, AUX_NZ)
         else:
             ms = run_backend(TIMED_STEPS, "mg")
         print(json.dumps({"ms_per_step": ms}))
         return
 
-    cpu_ms = _cpu_baseline()
+    # CPU aux baseline runs concurrently with the TPU measurements
+    cpu_job = _start_cpu_baseline()
+    tpu_aux_ms = run_backend(AUX_STEPS, "jacobi", AUX_NX, AUX_NY, AUX_NZ)
     tpu_ms = run_backend(TIMED_STEPS, "mg")
+    cpu_ms = _finish_cpu_baseline(*cpu_job)
+    log(f"aux 72k-dof comparison ({AUX_STEPS}-step window, both Jacobi): "
+        f"tpu {tpu_aux_ms:.2f} ms/step, cpu "
+        f"{'%.0f' % cpu_ms if cpu_ms else 'timeout'} ms/step")
     result = {
         "metric": "3d_plate_tempering_time_per_step_1Mdofs",
         "value": round(tpu_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(cpu_ms / tpu_ms, 3) if cpu_ms else None,
+        # measured cpu/tpu speedup at the largest CPU-feasible size
+        # (71,825 dofs), symmetric 6-step windows, best config each
+        "vs_baseline": round(cpu_ms / tpu_aux_ms, 3) if cpu_ms else None,
+        "vs_baseline_metric":
+            "xla_cpu_over_tpu_at_72k_dofs_same_6step_window",
+        "aux_72k_tpu_ms_per_step": round(tpu_aux_ms, 3),
+        "aux_72k_cpu_ms_per_step": round(cpu_ms, 1) if cpu_ms else None,
+        # at the 1M headline size XLA-CPU cannot finish (measured
+        # unbounded run: >=268 s/step, BENCH.md)
+        "vs_baseline_1m_lower_bound": round(CPU_1M_MS_LOWER_BOUND / tpu_ms),
     }
     print(json.dumps(result))
 

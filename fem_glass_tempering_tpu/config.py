@@ -125,6 +125,16 @@ class SolverConfig:
     # test stay f64 — mixed-precision inexact Newton. TPUs have no native
     # f64; this recovers rtol-1e-12 Newton accuracy at f32 Krylov speed.
     cg_dtype: str = "same"          # 'same' | 'float32'
+    # Residual noise floor, relative to the magnitude of the residual's
+    # non-cancelling terms (stiffness + boundary, measured per Newton
+    # iteration as ||residual(T, T, dt)||): once ||F|| drops below
+    # newton_noise_rel * that scale, F is evaluation roundoff and the
+    # iterate is declared converged with dx = 0. None = auto: 64 * 2^-49
+    # (the TPU double-float emulation epsilon with headroom) when
+    # cg_dtype='float32' under f64, else 0 (off). Set 0.0 to force off.
+    # This is what lets the late near-equilibrium transient survive at
+    # Newton rtol 1e-12 on TPU (BENCH.md noise-floor NaN).
+    newton_noise_rel: float | None = None
     # failure handling (the reference just aborts via assert,
     # ThermoViscoProblem.py:390): 'raise' | 'halve_dt' (retry the failed
     # chunk at dt/2 — same compiled program, dt is a traced scalar)

@@ -411,6 +411,18 @@ class ThermoViscoProblem:
         # representable in f32 residual norms
         cg_rtol32 = max(sc.cg_rtol, 1e-6)
 
+        # Residual noise floor (solver/newton.py noise_fn): auto-enabled
+        # for mixed precision on TPU, where f64 is double-float emulation
+        # (~2^-49 relative) and the late near-equilibrium residual sinks
+        # into evaluation roundoff (the BENCH.md noise-floor NaN). The
+        # per-row magnitude scale is ||diag(J) * T||: the Jacobian
+        # diagonal bounds each row's intermediate term sizes, so
+        # noise_rel * that norm bounds the 2-norm of the roundoff in F.
+        noise_rel = sc.newton_noise_rel
+        if noise_rel is None:
+            noise_rel = (64 * 2.0 ** -49) if (
+                mixed and jax.default_backend() == "tpu") else 0.0
+
         def step(state: ViscoState, dt):
             precond_fn = None
             matvec_fn = None
@@ -451,9 +463,15 @@ class ThermoViscoProblem:
                     matvec_fn = lambda T: ell.make_matvec(T, dt)
                 if sc.preconditioner == "jacobi":
                     diag_fn = lambda T: hres.jacobian_diag(T, dt)
+            noise_fn = None
+            if noise_rel:
+                def noise_fn(T):
+                    d = hres.jacobian_diag(T, dt) * T
+                    return noise_rel * jnp.sqrt(jnp.vdot(d, d))
             res = newton_solve(
                 lambda T: hres.residual(T, state.T, dt),
                 state.T,
+                noise_fn=noise_fn,
                 jac_diag_fn=diag_fn,
                 precond_fn=precond_fn,
                 matvec_fn=matvec_fn,

@@ -327,7 +327,9 @@ class GridHeatOperator:
         the 2D-flattened XLA form (HBM roofline at 1M dofs, BENCH.md);
         use_pallas selects the hand-tiled kernel (faster at sub-300k-dof
         meshes where in-register rotates are cheap)."""
-        if self.use_pallas and self.d >= 2:
+        # Mosaic compiles f32 only — an f64 operator (e.g. --use-pallas
+        # with dtype=float64) falls back to the XLA pad+slice form
+        if self.use_pallas and self.d >= 2 and self.dtype == jnp.float32:
             from fem_glass_tempering_tpu.ops.pallas_stencil import (
                 stencil_matvec_pallas,
             )

@@ -6,7 +6,7 @@ structured plate meshes'): a V-cycle over a hierarchy of rediscretized
 HeatOperators on coarsened box meshes, damped-Jacobi smoothing with each
 level's exact diagonal, and multilinear prolongation / exact-transpose
 restriction realized as STRIDED SLICE lattice ops (no gathers, no transfer
-tables — gather transfers measured ~30 ms/V-cycle on TPU at 274k dofs).
+tables — gather transfers measured ~30 ms/V-cycle on TPU at 72k dofs).
 The whole cycle is trace-time-unrolled jnp, so it sits inside the
 Newton/CG while_loops like any other matvec.
 
@@ -118,7 +118,7 @@ class GeometricMG:
     # ------------------------------------------------------------------
     # Lattice transfers as STRIDED SLICE ops — no gather, no transfer
     # tables. Gather-based einsum/segment_sum transfers cost ~30 ms per
-    # V-cycle on TPU at 274k dofs (measured: MG at 335 ms/step vs 18.5 for
+    # V-cycle on TPU at 72k dofs (measured: MG at 335 ms/step vs 18.5 for
     # Jacobi despite a 40x iteration cut); strided slices are VPU
     # streaming like the stencil matvec itself.
     #   prolong (per halved axis):  out[2i] = xc[i],

@@ -34,7 +34,8 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  dot: Callable | None = None,
                  precond_fn: Callable | None = None,
                  matvec_fn: Callable | None = None,
-                 cg_cast=None) -> NewtonResult:
+                 cg_cast=None,
+                 noise_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
     `dot` overrides the inner product for distributed (shard_map) use.
@@ -51,7 +52,16 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
     cast (the inner solve is scale-free), and the inexact increment only
     costs O(1) extra Newton iterations since its relative error is bounded
     by the f32 CG tolerance, not by ||F||. matvec_fn/jac_diag_fn/
-    precond_fn must then produce cg_cast-dtype operators."""
+    precond_fn must then produce cg_cast-dtype operators.
+
+    `noise_fn(x)` returns an absolute floor for ||F(x)|| below which the
+    residual is indistinguishable from evaluation roundoff (e.g. the
+    TPU-emulated-f64 noise of the stiffness/boundary terms). Once
+    ||F|| <= noise_fn(x) the iterate is declared converged with dx = 0:
+    solving J dx = -F against a pure-noise right-hand side near
+    equilibrium otherwise drives the incremental test with noise and can
+    destabilize the late transient (observed as NaNs at the emulation
+    noise floor on TPU, BENCH.md)."""
     if dot is None:
         dot = jnp.vdot
 
@@ -65,6 +75,14 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
     def body(state):
         x, k, converged, _, cg_total = state
         F = residual_fn(x)
+        Fn = norm(F)
+        if noise_fn is not None:
+            at_floor = Fn <= noise_fn(x)
+            # zero the RHS at the floor: CG exits at iteration 0 with
+            # dx = 0 and converged=True, so the iterate is left untouched
+            F = jnp.where(at_floor, jnp.zeros_like(F), F)
+        else:
+            at_floor = jnp.bool_(False)
 
         if matvec_fn is not None:
             matvec = matvec_fn(x)
@@ -75,11 +93,10 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
         precond = precond_fn(x) if precond_fn is not None else None
         if cg_cast is not None:
-            Fn = norm(F)
-            scale = jnp.where(Fn == 0, 1.0, Fn)
+            scale = jnp.where((Fn == 0) | at_floor, 1.0, Fn)
             b = (-F / scale).astype(cg_cast)
             lin = pcg(matvec, b, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                      max_it=cg_max_it, precond=precond)
+                      max_it=cg_max_it, dot=dot, precond=precond)
             dx = lin.x.astype(x.dtype) * scale
         else:
             lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
@@ -94,7 +111,7 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
         # actually met its tolerance — failures then surface as
         # non-convergence and reach the dt-halving retry machinery
         # instead of silently corrupting the state.
-        conv = (dxn <= rtol * norm(x_new) + atol) & lin.converged
+        conv = at_floor | ((dxn <= rtol * norm(x_new) + atol) & lin.converged)
         return x_new, k + 1, conv, dxn, cg_total + lin.iters
 
     x0 = jnp.asarray(x0)
