@@ -19,7 +19,7 @@ value tables all scale 1/N per device — unlike parallel/sharding.py
 (which distributes assembly only) and without the per-iteration index
 gathers of the explicit shard_map paths (parallel/domain*.py). Validated
 against the single-device step to ~1e-15 on a forced multi-device CPU
-mesh (tests/test_grid_shard.py).
+mesh (tests/test_grid_ops.py, tests/test_grid_mg.py).
 """
 
 from __future__ import annotations
@@ -97,6 +97,23 @@ class GridShardedProblem:
         self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad)
         self.grid = self.grid_op.grid
         self.pad0 = pad
+        # geometric-MG preconditioner, grid-native so it shards with the
+        # step (solver/grid_mg.py) — the GAMG-under-MPI transparency of
+        # the reference (/root/reference/ThermoViscoProblem.py:339-346):
+        # the same V-cycle program runs single-device or sharded
+        self.grid_mg = None
+        if config.solver.preconditioner == "mg":
+            from fem_glass_tempering_tpu.solver.grid_mg import GridMG
+            heat_form = getattr(config, "heat_form", "reference")
+
+            def make_heat_operator(level_mesh):
+                fs = FunctionSpace(level_mesh, "CG", 1)
+                return HeatOperator(fs, self.params, self.dt,
+                                    dtype=self.dtype, form=heat_form)
+
+            self.grid_mg = GridMG(self.grid_op, make_heat_operator,
+                                  smoother=config.solver.mg_smoother)
+            self.grid_mg.freeze_rhos(self.dt)
         self._build_shardings()
         self._build_step()
 
@@ -153,11 +170,20 @@ class GridShardedProblem:
         default_dt = self.dt
         ident = lambda name, arr: arr    # CG-1/CG-1: cross-eval is identity
 
+        mg = self.grid_mg
+
         def step(state: ViscoState, dt):
+            if mg is not None:
+                precond_fn = lambda T: mg.preconditioner_g(
+                    mg.linearization_states_g(T), dt)
+                diag_fn = None
+            else:
+                precond_fn = None
+                diag_fn = lambda T: g.jacobian_diag_g(T, dt)
             res = newton_solve(
                 lambda T: g.residual_g(T, state.T, dt), state.T,
-                jac_diag_fn=lambda T: g.jacobian_diag_g(T, dt),
-                precond_fn=None,
+                jac_diag_fn=diag_fn,
+                precond_fn=precond_fn,
                 matvec_fn=lambda T: g.make_matvec_g(T, dt),
                 rtol=sc.newton_rtol, atol=sc.newton_atol,
                 max_it=sc.newton_max_it, cg_rtol=sc.cg_rtol,
@@ -177,16 +203,29 @@ class GridShardedProblem:
         bundle = TableBundle()
         bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
                             "bc_mask_g", "bc_values_g"))
+        if mg is not None:
+            for op in mg.ops[1:]:
+                bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
+                                     "bc_mask_g", "bc_values_g"))
         self._bundle = bundle
         shard = NamedSharding(self.dev_mesh, P(AXIS))
         rep = NamedSharding(self.dev_mesh, P())
         d = len(self.grid)
+        # every level's node grid gets sliced along the sharded axis; the
+        # fine level is padded to a device multiple, coarse levels shard
+        # unevenly (GSPMD pads internally) and replicate once their plane
+        # count drops below the device count
+        grids = [self.grid] + ([gr for gr in mg.grids()[1:]]
+                               if mg is not None else [])
 
         def leaf_sharding(a):
-            if a.ndim >= d + 1 and a.shape[1:d + 1] == self.grid:
-                return NamedSharding(self.dev_mesh, P(None, AXIS))
-            if a.ndim >= d and a.shape[:d] == self.grid:
-                return shard
+            for gr in grids:
+                if gr[0] < self.n_devices:
+                    continue
+                if a.ndim >= d + 1 and a.shape[1:d + 1] == gr:
+                    return NamedSharding(self.dev_mesh, P(None, AXIS))
+                if a.ndim >= d and a.shape[:d] == gr:
+                    return shard
             return rep
 
         tbl0 = bundle.collect()
