@@ -112,3 +112,95 @@ class ScalarResidualForm:
         u_eff = jnp.where(self.bc_mask, self.bc_values, u)
         r = self._base_residual(u_eff, **params)
         return jnp.where(self.bc_mask, u - self.bc_values, r)
+
+
+class VectorResidualForm:
+    """Generic weak form for VECTOR/TENSOR-valued fields — the UFL tensor
+    surface (reference ThermoViscoProblem.py:280-326, ViscoelasticModel.py
+    expresses sigma/strain forms in UFL's tensor algebra; here the same
+    role is three vectorized jnp callables). For a field u with value
+    shape V (e.g. (d,) displacement, (d, d) tensor):
+
+      F(u; v) = ∫ [ a(u, ∇u, x) · v + b(u, ∇u, x) : ∇v ] dx
+              + ∫_∂ c(u, x, n) · v ds
+
+      cell_source   a(uq, guq, xq, **p) -> (c, q, *V)
+      cell_flux     b(uq, guq, xq, **p) -> (c, q, *V, gdim)   [:: ∇v]
+      boundary_flux c(ub, xb, n, **p)   -> (f, q, *V)
+
+    with uq (c, q, *V) and guq (c, q, *V, gdim). The Jacobian is jax.jvp
+    of `residual`, exactly like the scalar form. `pin_mask` (broadcastable
+    to (n_dofs, *V), nonzero = constrained to `pin_values`) imposes
+    component-wise point constraints (e.g. rigid-body pins,
+    ops/elasticity.py). Covers every 2nd-order vector/tensor PDE weak
+    form: elasticity, Stokes-like momentum balance, tensor transport."""
+
+    def __init__(self, fs: FunctionSpace, value_shape: tuple,
+                 cell_source: Callable | None = None,
+                 cell_flux: Callable | None = None,
+                 boundary_flux: Callable | None = None,
+                 quad_degree: int | None = None,
+                 dtype=jnp.float64,
+                 pin_mask: np.ndarray | None = None,
+                 pin_values: np.ndarray | float = 0.0):
+        self.fs = fs
+        self.value_shape = tuple(value_shape)
+        self.cell_source = cell_source
+        self.cell_flux = cell_flux
+        self.boundary_flux = boundary_flux
+        self.n_dofs = fs.n_scalar_dofs
+        cg = build_cell_geometry(fs.mesh, fs, quad_degree)
+        bg = build_boundary_geometry(fs.mesh, fs, quad_degree)
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        i = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.dofmap = i(fs.dofmap)
+        self.qw = f(cg.qweights)
+        self.phi = f(cg.phi)
+        self.gphi = f(cg.grad_phys)
+        self.xq = f(cg.qpoints_phys)
+        self.b_dofmap = i(fs.dofmap[bg.cell])
+        self.b_qw = f(bg.qweights)
+        self.b_phi = f(bg.phi)
+        self.b_xq = f(bg.qpoints_phys)
+        self.b_n = f(bg.normal)
+        self.has_pins = pin_mask is not None
+        if self.has_pins:
+            self.pin_mask = f(np.broadcast_to(
+                np.asarray(pin_mask), (self.n_dofs,) + self.value_shape))
+            self.pin_values = f(np.broadcast_to(
+                np.asarray(pin_values), (self.n_dofs,) + self.value_shape))
+
+    def _scatter(self, vals, dofmap):
+        V = self.value_shape
+        return jax.ops.segment_sum(
+            vals.reshape((-1,) + V), dofmap.reshape(-1),
+            num_segments=self.n_dofs)
+
+    def _base_residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:
+        uc = u[self.dofmap]                                   # (c, l, *V)
+        uq = jnp.einsum("ql,cl...->cq...", self.phi, uc)      # (c, q, *V)
+        guq = jnp.einsum("cqlg,cl...->cq...g", self.gphi, uc)
+        r = jnp.zeros((self.n_dofs,) + self.value_shape, dtype=u.dtype)
+        r_cell = None
+        if self.cell_source is not None:
+            a = self.cell_source(uq, guq, self.xq, **params)
+            r_cell = jnp.einsum("cq,cq...,ql->cl...", self.qw, a, self.phi)
+        if self.cell_flux is not None:
+            b = self.cell_flux(uq, guq, self.xq, **params)
+            term = jnp.einsum("cq,cq...g,cqlg->cl...", self.qw, b, self.gphi)
+            r_cell = term if r_cell is None else r_cell + term
+        if r_cell is not None:
+            r = r + self._scatter(r_cell, self.dofmap)
+        if self.boundary_flux is not None and self.b_dofmap.shape[0]:
+            ub = jnp.einsum("fql,fl...->fq...", self.b_phi, u[self.b_dofmap])
+            c = self.boundary_flux(ub, self.b_xq, self.b_n, **params)
+            r_b = jnp.einsum("fq,fq...,fql->fl...", self.b_qw, c, self.b_phi)
+            r = r + self._scatter(r_b, self.b_dofmap)
+        return r
+
+    def residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:
+        if not self.has_pins:
+            return self._base_residual(u, **params)
+        u_eff = jnp.where(self.pin_mask > 0, self.pin_values, u)
+        r = self._base_residual(u_eff, **params)
+        return jnp.where(self.pin_mask > 0, u - self.pin_values, r)

@@ -70,6 +70,86 @@ def test_forms_reproduce_heat_operator():
     np.testing.assert_allclose(np.asarray(r3), np.asarray(r_op), rtol=1e-11)
 
 
+def test_vector_form_reproduces_elasticity_operator():
+    """The generic VECTOR form with the elastic-stress integrand ==
+    ops/elasticity.py's hand-coded residual to machine precision — the
+    UFL-tensor-surface parity check (reference ThermoViscoProblem.py:280-326
+    expresses these forms in UFL tensor algebra)."""
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.ops.elasticity import ElasticityOperator
+    from fem_glass_tempering_tpu.ops.forms import VectorResidualForm
+
+    m = box_mesh_3d(4, 3, 2, 1.0, 1.0, 0.01)
+    fs_sig = FunctionSpace(m, "CG", 1, value_shape=(3, 3))
+    el = ElasticityOperator(fs_sig)
+    d = el.d
+    rng = np.random.default_rng(3)
+    C, Q = el.qw.shape
+    # the two layers differ only in the pin-row convention for INFEASIBLE
+    # inputs (elasticity zeroes pins on entry; the generic form reports
+    # u - pin_values) — compare on a pin-satisfying input
+    u = jnp.asarray(rng.standard_normal((el.n, d)))
+    u = jnp.where(el.pin_mask > 0, 0.0, u)
+    sigma_hist_q = jnp.asarray(rng.standard_normal((C, Q, d, d)))
+    sigma_hist_q = 0.5 * (sigma_hist_q + jnp.swapaxes(sigma_hist_q, -1, -2))
+    eps0_q = jnp.asarray(rng.standard_normal((C, Q)))[..., None, None] \
+        * jnp.eye(d)
+    G_q = jnp.asarray(1.0 + rng.random((C, Q)))
+    K_q = jnp.asarray(2.0 + rng.random((C, Q)))
+
+    def stress_flux(uq, guq, xq, *, sig_h, eps0, G, K):
+        eps = 0.5 * (guq + jnp.swapaxes(guq, -1, -2)) - eps0
+        tr = jnp.trace(eps, axis1=-2, axis2=-1)
+        I = jnp.eye(d, dtype=uq.dtype)
+        dev = eps - (tr / d)[..., None, None] * I
+        return (sig_h + 2.0 * G[..., None, None] * dev
+                + K[..., None, None] * tr[..., None, None] * I)
+
+    form = VectorResidualForm(
+        fs_sig, value_shape=(d,), cell_flux=stress_flux,
+        pin_mask=np.asarray(el.pin_mask), pin_values=0.0)
+    r_form = form.residual(u, sig_h=sigma_hist_q, eps0=eps0_q,
+                           G=G_q, K=K_q)
+    r_op = el.residual(u, sigma_hist_q, eps0_q, G_q, K_q)
+    np.testing.assert_allclose(np.asarray(r_form), np.asarray(r_op),
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_vector_form_solves_vector_poisson_mms():
+    """Vector Laplace MMS through the generic layer: -Δu_a = f_a with
+    u_exact = (sin(pi x) sin(pi y), x(1-x)y(1-y)), Dirichlet pins."""
+    from fem_glass_tempering_tpu.ops.forms import VectorResidualForm
+
+    m = box_mesh_2d(16, 16)
+    fs = FunctionSpace(m, "CG", 2)
+    x = fs.dof_coords
+    bd = fs.boundary_scalar_dofs()
+    u_ex = np.stack([
+        np.sin(np.pi * x[:, 0]) * np.sin(np.pi * x[:, 1]),
+        x[:, 0] * (1 - x[:, 0]) * x[:, 1] * (1 - x[:, 1])], axis=1)
+    pin = np.zeros((fs.n_scalar_dofs, 2))
+    pin[np.asarray(bd)] = 1.0
+
+    def source(uq, guq, xq):
+        f0 = -2 * np.pi**2 * jnp.sin(np.pi * xq[..., 0]) \
+            * jnp.sin(np.pi * xq[..., 1])
+        f1 = -2 * (xq[..., 0] * (1 - xq[..., 0])
+                   + xq[..., 1] * (1 - xq[..., 1]))
+        return -jnp.stack([f0, f1], axis=-1)
+
+    form = VectorResidualForm(
+        fs, value_shape=(2,),
+        cell_source=lambda uq, guq, xq: -source(uq, guq, xq),
+        cell_flux=lambda uq, guq, xq: guq,
+        pin_mask=pin, pin_values=0.0, quad_degree=6)
+    res = newton_solve(form.residual,
+                       jnp.zeros((fs.n_scalar_dofs, 2)),
+                       rtol=1e-12, cg_rtol=1e-12, cg_max_it=4000)
+    assert bool(res.converged)
+    err = np.abs(np.asarray(res.x) - u_ex).max()
+    assert err < 5e-5, err
+
+
 def test_forms_nonlinear_reaction_diffusion_mms():
     """-Δu + u^3 = f with u_exact = sin(pi x) on [0,1], Dirichlet: solved
     entirely through the generic layer (10 lines of user code)."""
