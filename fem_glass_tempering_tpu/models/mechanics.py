@@ -97,3 +97,97 @@ class MechanicsCoupling:
             rtol=self.cg_rtol, max_it=self.cg_max_it)
         self.last_cg_iters = iters
         return self.elast.strain_at_sigma_dofs(du)
+
+
+class GridMechanicsCoupling:
+    """Gather-free equilibrium mechanics on uniform box meshes
+    (ops/grid_elasticity.py): the same coupling as MechanicsCoupling,
+    expressed entirely in grid-shaped static-slice/einsum ops, so it runs
+    inside the GSPMD-sharded step (parallel/grid_shard.py) and as the
+    fast path of the single-device grid-native solve.
+
+    `grid_shaped=True` (the sharded path) takes/returns (*grid, ...)
+    arrays directly; False adapts the flat (n, ...) ViscoState layout by
+    reshaping at the boundary (free on a single device)."""
+
+    def __init__(self, fs_sigma, engine, dtype=jnp.float32,
+                 cg_rtol: float = 1e-10, cg_max_it: int = 2000,
+                 pad_axis0: int = 0, grid_shaped: bool = False,
+                 preconditioner: str = "mg"):
+        from fem_glass_tempering_tpu.ops.grid_elasticity import (
+            GridElasticityOperator,
+        )
+        from fem_glass_tempering_tpu.solver.krylov import pcg
+
+        self._pcg = pcg
+        self.engine = engine
+        self.el = GridElasticityOperator(fs_sigma, dtype=dtype,
+                                         pad_axis0=pad_axis0)
+        self.d = self.el.d
+        self.cg_rtol = cg_rtol
+        self.cg_max_it = cg_max_it
+        self.grid_shaped = grid_shaped
+        self.I = jnp.eye(self.d, dtype=dtype)
+        self.last_cg_iters = None
+        # vector geometric MG: mandatory in practice — Jacobi-CG stalls on
+        # thin plates (2000+ unconverged iterations measured at aspect 50)
+        self.mg = None
+        if preconditioner == "mg":
+            from fem_glass_tempering_tpu.solver.grid_mg import GridElastMG
+
+            def make_level_op(level_mesh):
+                fsl = FunctionSpace(level_mesh, "CG", 1,
+                                    value_shape=(self.d, self.d))
+                return GridElasticityOperator(fsl, dtype=dtype)
+
+            self.mg = GridElastMG(self.el, make_level_op)
+
+    def __call__(self, state, xi, scalar_th):
+        el = self.el
+        eng = self.engine
+        grid = el.grid
+        d = self.d
+        if self.grid_shaped:
+            xi_g = xi
+            th_g = scalar_th
+        else:
+            xi_g = xi.reshape(grid)
+            th_g = scalar_th.reshape(grid)
+
+        xi_q = el.cell_avg_from_nodes(xi_g)               # (*dims, q)
+        th_q = el.cell_avg_from_nodes(th_g)
+        eps0_q = th_q[..., None, None] * self.I
+        G_eff = jnp.sum(
+            eng.g_n * eng._relax_factor(
+                xi_q[..., None] / eng.lambda_g_n), axis=-1)
+        K_eff = jnp.sum(
+            eng.k_n * eng._relax_factor(
+                xi_q[..., None] / eng.lambda_k_n), axis=-1)
+
+        # decayed history stress at the nodes, then at quad points
+        ref = eng.mode == "reference"
+        s_src = state.s_tilde if ref else state.s_partial
+        sig_src = state.sigma_tilde if ref else state.sigma_partial
+        if not self.grid_shaped:
+            s_src = s_src.reshape(grid + s_src.shape[1:])
+            sig_src = sig_src.reshape(grid + sig_src.shape[1:])
+        texp_g = eng._decay(
+            xi_g[..., None] / eng.lambda_g_n)[..., None, None]
+        texp_k = eng._decay(
+            xi_g[..., None] / eng.lambda_k_n)[..., None, None]
+        sigma_hist = jnp.sum(s_src * texp_g + sig_src * texp_k, axis=-3)
+        sigma_hist_q = el.tensor_at_q(sigma_hist)         # (*dims, q, d, d)
+
+        zero = jnp.zeros(grid + (d,), dtype=xi_q.dtype)
+        b = -el.residual_g(zero, sigma_hist_q, eps0_q, G_eff, K_eff)
+        mv = el.make_matvec_g(G_eff, K_eff)
+        diag = el.jacobian_diag_g(G_eff, K_eff)
+        precond = (self.mg.preconditioner_g(G_eff, K_eff)
+                   if self.mg is not None else None)
+        res = self._pcg(mv, b, diag=diag, precond=precond,
+                        rtol=self.cg_rtol, max_it=self.cg_max_it)
+        self.last_cg_iters = res.iters
+        eps = el.strain_at_nodes(res.x)                   # (*grid, d, d)
+        if self.grid_shaped:
+            return eps
+        return eps.reshape(-1, d, d)

@@ -183,11 +183,26 @@ class ThermoViscoProblem:
         self._mech = None
         if self.config.mechanics == "equilibrium":
             from fem_glass_tempering_tpu.models.mechanics import (
+                GridMechanicsCoupling,
                 MechanicsCoupling,
             )
-            self._mech = MechanicsCoupling(
-                self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
-                cg_rtol=min(self.config.solver.cg_rtol, 1e-8))
+            # gather-free grid-native mechanics when the mesh/space
+            # qualify (ops/grid_elasticity.py), flat assembly otherwise
+            self._mech = None
+            mech_max_it = max(self.config.solver.cg_max_it, 2000)
+            if self._grid is not None:
+                try:
+                    self._mech = GridMechanicsCoupling(
+                        self.fs_sigma, self.engine, dtype=self.dtype,
+                        cg_rtol=min(self.config.solver.cg_rtol, 1e-8),
+                        cg_max_it=mech_max_it)
+                except ValueError:
+                    pass
+            if self._mech is None:
+                self._mech = MechanicsCoupling(
+                    self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
+                    cg_rtol=min(self.config.solver.cg_rtol, 1e-8),
+                    cg_max_it=mech_max_it)
         self._mg = None
         self._dg_mg = None
         # mixed precision replaces the f64 preconditioner with its f32
@@ -494,7 +509,8 @@ class ThermoViscoProblem:
         from fem_glass_tempering_tpu.utils.jitargs import TableBundle
         bundle = TableBundle()
         for obj in (grid, heat, ell, mg, dg_mg, amg, amg32, self._grid32,
-                    self._heat32, self._mg32, self._dg_mg32, ell32, engine):
+                    self._heat32, self._mg32, self._dg_mg32, ell32, engine,
+                    mech_fn):
             bundle.register_operator(obj)
         self._bundle = bundle
 

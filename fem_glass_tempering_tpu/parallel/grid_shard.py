@@ -60,9 +60,6 @@ class GridShardedProblem:
             raise ValueError("GridShardedProblem needs a CG-1 sigma space")
         if mesh.structured is None:
             raise ValueError("GridShardedProblem needs a structured box mesh")
-        if config.mechanics == "equilibrium":
-            raise ValueError("equilibrium mechanics is not wired into the "
-                             "GSPMD path yet; use ThermoViscoProblem")
         self.config = config
         self.mesh = mesh
         self.dtype = (jnp.float64 if config.dtype == "float64"
@@ -114,6 +111,17 @@ class GridShardedProblem:
             self.grid_mg = GridMG(self.grid_op, make_heat_operator,
                                   smoother=config.solver.mg_smoother)
             self.grid_mg.freeze_rhos(self.dt)
+        # equilibrium mechanics, gather-free and grid-shaped so it shards
+        # with the step (models/mechanics.py GridMechanicsCoupling)
+        self.mech = None
+        if config.mechanics == "equilibrium":
+            from fem_glass_tempering_tpu.models.mechanics import (
+                GridMechanicsCoupling,
+            )
+            self.mech = GridMechanicsCoupling(
+                self.fs_sigma, self.engine, dtype=self.dtype,
+                cg_rtol=min(config.solver.cg_rtol, 1e-8),
+                pad_axis0=pad, grid_shaped=True)
         self._build_shardings()
         self._build_step()
 
@@ -171,6 +179,7 @@ class GridShardedProblem:
         ident = lambda name, arr: arr    # CG-1/CG-1: cross-eval is identity
 
         mg = self.grid_mg
+        mech_fn = self.mech
 
         def step(state: ViscoState, dt):
             if mg is not None:
@@ -189,7 +198,8 @@ class GridShardedProblem:
                 max_it=sc.newton_max_it, cg_rtol=sc.cg_rtol,
                 cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
             )
-            new_state = engine.material_step_with(state, res.x, ident, dt)
+            new_state = engine.material_step_with(state, res.x, ident, dt,
+                                                  mech=mech_fn)
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 
@@ -207,6 +217,8 @@ class GridShardedProblem:
             for op in mg.ops[1:]:
                 bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
                                      "bc_mask_g", "bc_values_g"))
+        if mech_fn is not None:
+            bundle.register_operator(mech_fn)
         self._bundle = bundle
         shard = NamedSharding(self.dev_mesh, P(AXIS))
         rep = NamedSharding(self.dev_mesh, P())

@@ -193,3 +193,283 @@ class GridMG:
             return smooth(i, x, b, self.nu_post)
 
         return lambda r: cycle(0, r)
+
+
+class GridElastMG:
+    """Grid-shaped geometric V-cycle for the VECTOR elasticity operator
+    (ops/grid_elasticity.py) — the preconditioner the equilibrium-
+    mechanics solve needs (Jacobi-CG stalls on thin tempering plates:
+    measured 2000+ unconverged iterations on an 8x6x4 aspect-50 plate).
+
+    Same hierarchy rule and strided-slice transfers as GridMG (vector
+    trailing dim rides along), with per-level coefficient fields obtained
+    by cell-averaging G/K down the hierarchy, and Chebyshev smoothing
+    whose spectrum bound rho(D^{-1}A) is a Gershgorin bound computed
+    IN-GRAPH from two constant element tables — the coefficients change
+    every time step, so the bound must be traced, not frozen."""
+
+    def __init__(self, fine, make_level_op, *, nu_pre: int = 2,
+                 nu_post: int = 2, coarse_iters: int = 24,
+                 min_level_nodes: int = 27):
+        mesh = fine.fs.mesh
+        meta = mesh.structured
+        dims = tuple(meta["dims"])
+        lengths = tuple(meta["lengths"])
+        self.nu_pre, self.nu_post = nu_pre, nu_post
+        self.coarse_iters = coarse_iters
+        self.pad0 = fine.pad0
+        self.phys0 = fine.base_grid[0]
+        self.ops = [fine]
+        self.axes: list[tuple | None] = []
+        while True:
+            cdims = _next_dims(dims, lengths)
+            if cdims is None or int(np.prod(
+                    tuple(n + 1 for n in cdims))) < min_level_nodes:
+                self.axes.append(None)
+                break
+            self.axes.append(tuple(a for a in range(len(dims))
+                                   if cdims[a] != dims[a]))
+            dims = cdims
+            self.ops.append(make_level_op(_build_level_mesh(meta, dims)))
+        # constant element tables per level (uniform cells):
+        # A[(l,a),(m,b)] = G*EG + K*EK with
+        #   EG = sum_q w [d_ab grad(phi_l).grad(phi_m) + d_b phi_l d_a phi_m
+        #                 - (2/d) d_a phi_l d_b phi_m]
+        #   EK = sum_q w d_a phi_l d_b phi_m
+        self._tables = []       # Gershgorin row stats (SG, SK, DG, DK)
+        self._EGK = []          # full (l,a,m,b) element tensors
+        self._smoothers = []    # 'column' | 'point' per level
+        self._col_axis = []
+        for op in self.ops:
+            qw, gp = op.np_qw1[0] if op.np_qw1.ndim > 1 else op.np_qw1, \
+                op.np_gphi1
+            d = op.d
+            gg = np.einsum("q,qlg,qmg->lm", qw, gp, gp)
+            cross = np.einsum("q,qlb,qma->lamb", qw, gp, gp)
+            EK = np.einsum("q,qla,qmb->lamb", qw, gp, gp)
+            EG = (np.einsum("lm,ab->lamb", gg, np.eye(d))
+                  + cross - (2.0 / d) * EK)
+            SG = np.abs(EG).sum(axis=(2, 3))
+            SK = np.abs(EK).sum(axis=(2, 3))
+            DG = np.einsum("lala->la", EG)
+            DK = np.einsum("lala->la", EK)
+            f = lambda a: jnp.asarray(a, dtype=op.dtype)
+            self._tables.append((f(SG), f(SK), f(DG), f(DK)))
+            self._EGK.append((f(EG), f(EK)))
+            # line smoothing along the strongly coupled (small-h) axis:
+            # point smoothers cannot damp the through-thickness modes of a
+            # thin tempering plate (measured: 386+ MG-CG iterations with
+            # point Chebyshev at aspect 50 vs ~40 isotropic)
+            h = [ln / dd for ln, dd in zip(
+                op.fs.mesh.structured["lengths"], op.dims)]
+            aniso = max(h) / min(h) > 3.0 and d >= 2
+            ax = int(np.argmin(h))
+            if aniso and op.dims[ax] >= 1:
+                self._smoothers.append("column")
+                self._col_axis.append(ax)
+            else:
+                self._smoothers.append("point")
+                self._col_axis.append(None)
+
+    # ---- transfers (vector trailing dim) ------------------------------
+    def _restrict(self, i, rg):
+        if i == 0 and self.pad0:
+            rg = jax.lax.slice_in_dim(rg, 0, self.phys0, axis=0)
+        for a in self.axes[i]:
+            rg = GeometricMG._restrict_axis(rg, a)
+        return rg
+
+    def _prolong(self, i, xc):
+        for a in self.axes[i]:
+            xc = GeometricMG._prolong_axis(xc, a)
+        if i == 0 and self.pad0:
+            pc = [(0, self.pad0)] + [(0, 0)] * (xc.ndim - 1)
+            xc = jnp.pad(xc, pc)
+        return xc
+
+    @staticmethod
+    def _coarsen_cells(arr, axes):
+        """Cell-wise coefficient restriction: average the 2 children along
+        each halved axis (strided slices)."""
+        for a in axes:
+            n = arr.shape[a]
+            even = jax.lax.slice_in_dim(arr, 0, n, stride=2, axis=a)
+            odd = jax.lax.slice_in_dim(arr, 1, n, stride=2, axis=a)
+            arr = 0.5 * (even + odd)
+        return arr
+
+    def _rho_bound(self, op, tbl, Gc, Kc):
+        """Traced Gershgorin bound on rho(D^{-1}A): per-cell scalar
+        coefficients (max over q for safety), scattered abs-row-sums over
+        num/den."""
+        SG, SK, DG, DK = tbl
+        num_cell = Gc[..., None, None] * SG + Kc[..., None, None] * SK
+        den_cell = Gc[..., None, None] * DG + Kc[..., None, None] * DK
+        num = op._scatter(num_cell, op.grid + (op.d,), Gc.dtype)
+        den = op._scatter(den_cell, op.grid + (op.d,), Gc.dtype)
+        ratio = jnp.where(op.pin_mask_g > 0, 1.0,
+                          num / jnp.where(den == 0, 1.0, den))
+        return jnp.max(ratio) * 1.01
+
+    # ---- block-tridiagonal column smoother ---------------------------
+    def _column_blocks(self, i, Gc, Kc):
+        """Assemble the line matrix along the strongly coupled axis:
+        Dg (*grid, d, d) nodal diagonal blocks; Ug (*grid, d, d) with
+        Ug[n] the block coupling node n -> n+e_ax (zero at the last
+        plane). Cell coefficients Gc/Kc are per-cell scalars. Pinned
+        components become identity rows with severed couplings."""
+        op = self.ops[i]
+        EG, EK = self._EGK[i]
+        ax = self._col_axis[i]
+        d = op.d
+        nloc = op.nloc
+        Dg = jnp.zeros(op.grid + (d, d), dtype=Gc.dtype)
+        Ug = jnp.zeros(op.grid + (d, d), dtype=Gc.dtype)
+        for l in range(nloc):
+            blk = (Gc[..., None, None] * EG[l, :, l, :]
+                   + Kc[..., None, None] * EK[l, :, l, :])
+            Dg = Dg.at[op._corner_slice(l)].add(blk)
+            if op.loffs[l][ax] == 0:
+                m = l + (1 << ax)
+                blkU = (Gc[..., None, None] * EG[l, :, m, :]
+                        + Kc[..., None, None] * EK[l, :, m, :])
+                Ug = Ug.at[op._corner_slice(l)].add(blkU)
+        free = 1.0 - (op.pin_mask_g > 0).astype(Gc.dtype)    # (*grid, d)
+        pin = 1.0 - free
+        Dg = (Dg * free[..., :, None] * free[..., None, :]
+              + jnp.eye(d, dtype=Gc.dtype) * pin[..., :, None])
+        # column mask of the n+1 node along ax
+        free_next = jnp.concatenate(
+            [jax.lax.slice_in_dim(free, 1, free.shape[ax], axis=ax),
+             jnp.zeros_like(jax.lax.slice_in_dim(free, 0, 1, axis=ax))],
+            axis=ax)
+        Ug = Ug * free[..., :, None] * free_next[..., None, :]
+        return Dg, Ug
+
+    def _column_solver(self, i, Dg, Ug):
+        """Batched block-Thomas factorization of every line; returns
+        zsolve(r) over (*grid, d) arrays."""
+        op = self.ops[i]
+        ax = self._col_axis[i]
+        d = op.d
+        grid = op.grid
+        nsp = len(grid)
+        nzc = grid[ax]
+        ncol = int(np.prod(grid)) // nzc
+        perm = tuple(j for j in range(nsp) if j != ax) + (ax,)
+        inv_perm = tuple(int(j) for j in np.argsort(perm))
+
+        def to_cols(a, trail):
+            a = jnp.transpose(a, perm + tuple(nsp + t for t in range(trail)))
+            return a.reshape((ncol, nzc) + a.shape[nsp:])
+
+        D = to_cols(Dg, 2)
+        U = to_cols(Ug, 2)
+        invD = [jnp.linalg.inv(D[:, 0])]
+        Ls = []
+        for k in range(1, nzc):
+            # lower block at row k is U_{k-1}^T (symmetric operator)
+            Lk = jnp.einsum("cba,cbe->cae", U[:, k - 1], invD[-1])
+            Dk = D[:, k] - jnp.einsum("cab,cbe->cae", Lk, U[:, k - 1])
+            invD.append(jnp.linalg.inv(Dk))
+            Ls.append(Lk)
+
+        def zsolve(r):
+            rg = to_cols(r, 1)                              # (ncol, nzc, d)
+            y = [rg[:, 0]]
+            for k in range(1, nzc):
+                y.append(rg[:, k]
+                         - jnp.einsum("cab,cb->ca", Ls[k - 1], y[-1]))
+            x = [None] * nzc
+            x[-1] = jnp.einsum("cab,cb->ca", invD[-1], y[-1])
+            for k in range(nzc - 2, -1, -1):
+                x[k] = jnp.einsum(
+                    "cab,cb->ca", invD[k],
+                    y[k] - jnp.einsum("cab,cb->ca", U[:, k], x[k + 1]))
+            xg = jnp.stack(x, axis=1)                       # (ncol, nzc, d)
+            shape_perm = tuple(grid[j] for j in perm) + (d,)
+            xg = xg.reshape(shape_perm)
+            return jnp.transpose(xg, inv_perm + (nsp,))
+        return zsolve
+
+    @staticmethod
+    def _power_rho(mv, zsolve, shape, dtype, iters=8):
+        """Traced power-iteration estimate of rho(Z^{-1}A) — the line
+        coefficients change every step, so the Chebyshev bound must be
+        computed in-graph (cost: `iters` extra matvec+line-solves per
+        step, amortized over the whole CG solve)."""
+        n = int(np.prod(shape))
+        v = (jnp.sin(jnp.arange(n, dtype=dtype) * 0.7) + 0.01).reshape(shape)
+        rho = jnp.asarray(1.0, dtype)
+        for _ in range(iters):
+            w = zsolve(mv(v))
+            nw = jnp.linalg.norm(w.ravel())
+            rho = nw / jnp.linalg.norm(v.ravel())
+            v = w / nw
+        return rho * 1.1
+
+    def preconditioner_g(self, G_q, K_q):
+        """Build the V-cycle apply for coefficient fields G_q/K_q
+        ((*dims, q), fine level). Returns r (*grid, d) -> approx A^{-1} r."""
+        matvecs, diags, rhos, zsolves = [], [], [], []
+        Gq, Kq = G_q, K_q
+        for i, op in enumerate(self.ops):
+            mv = op.make_matvec_g(Gq, Kq)
+            matvecs.append(mv)
+            Gcell = jnp.mean(Gq, axis=-1)
+            Kcell = jnp.mean(Kq, axis=-1)
+            if self._smoothers[i] == "column":
+                Dg, Ug = self._column_blocks(i, Gcell, Kcell)
+                zs = self._column_solver(i, Dg, Ug)
+                zsolves.append(zs)
+                diags.append(None)
+                rhos.append(self._power_rho(
+                    mv, zs, op.grid + (op.d,), Gq.dtype))
+            else:
+                zsolves.append(None)
+                diags.append(op.jacobian_diag_g(Gq, Kq))
+                rhos.append(self._rho_bound(op, self._tables[i],
+                                            jnp.max(Gq, axis=-1),
+                                            jnp.max(Kq, axis=-1)))
+            if self.axes[i] is not None:
+                Gc = self._coarsen_cells(Gcell, self.axes[i])
+                Kc = self._coarsen_cells(Kcell, self.axes[i])
+                q = self.ops[i + 1].qw1.shape[0]
+                Gq = jnp.broadcast_to(Gc[..., None], Gc.shape + (q,))
+                Kq = jnp.broadcast_to(Kc[..., None], Kc.shape + (q,))
+
+        def smooth(i, x, b, nu):
+            # Chebyshev acceleration of the level smoother Z^{-1}
+            # (line solve or pointwise diagonal) over [rho/4, rho]
+            if zsolves[i] is not None:
+                zsolve = zsolves[i]
+            else:
+                zsolve = (lambda di: lambda r: r / di)(diags[i])
+            lmax = rhos[i]
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho_k = 1.0 / sigma
+            r = b - matvecs[i](x)
+            p = zsolve(r) / theta
+            x = x + p
+            for _ in range(max(nu - 1, 0)):
+                r = b - matvecs[i](x)
+                z = zsolve(r)
+                rho_next = 1.0 / (2.0 * sigma - rho_k)
+                p = rho_next * rho_k * p + (2.0 * rho_next / delta) * z
+                x = x + p
+                rho_k = rho_next
+            return x
+
+        def cycle(i, b):
+            if self.axes[i] is None:
+                return smooth(i, jnp.zeros_like(b), b, self.coarse_iters)
+            x = smooth(i, jnp.zeros_like(b), b, self.nu_pre)
+            r = b - matvecs[i](x)
+            xc = cycle(i + 1, self._restrict(i, r))
+            x = x + self._prolong(i, xc)
+            return smooth(i, x, b, self.nu_post)
+
+        return lambda r: cycle(0, r)

@@ -67,6 +67,19 @@ class TableBundle:
                                "bc_mask", "bc_values", "bc_mask_g",
                                "bc_values_g"))
             self.register_operator(op.op)
+        elif name == "GridElasticityOperator":
+            self.register(op, ("pin_mask_g", "qw1", "phi1", "gphi1"))
+        elif name == "GridMechanicsCoupling":
+            self.register_operator(op.el)
+            if op.mg is not None:
+                self.register_operator(op.mg)
+        elif name == "GridElastMG":
+            for lop in op.ops:
+                self.register_operator(lop)
+            self.register(op, ("_tables",))
+        elif name == "GridMG":
+            for lop in op.ops:
+                self.register_operator(lop)
         elif name == "GeometricMG":
             # lattice transfers are strided-slice ops with no tables;
             # only the per-level operators carry arrays
