@@ -289,6 +289,73 @@ class GridShardedProblem:
         state, ok, ni, ki = self._multi_step_jit(state, n)
         return state, bool(ok), int(ni), int(ki)
 
+    # ------------------------------------------------------------------
+    def solve(self, state: ViscoState | None = None, *,
+              n_steps: int | None = None, progress: bool = False):
+        """Full time loop with PER-SHARD streaming output and sharded
+        checkpointing — the reference's per-rank ADIOS2 write loop
+        (ThermoViscoProblem.py:246-263, :374) for the GSPMD path: jitted
+        multi-step chunks between snapshots, each snapshot streaming only
+        the local shards to disk (io/sharded.py), never a global gather."""
+        import time as _time
+
+        if state is None:
+            state = self.init_state()
+        n_total = n_steps if n_steps is not None else self.n_steps
+        oc = self.config.output
+        we = oc.write_every
+        chunk = we if we and we > 0 else n_total
+        writer = None
+        if we and we > 0 and oc.formats:
+            from fem_glass_tempering_tpu.io.sharded import ShardedSeriesWriter
+            writer = ShardedSeriesWriter(
+                f"{oc.output_dir}/sharded_series",
+                fields=tuple(f for f in oc.npz_fields
+                             if f in ViscoState._fields),
+                grid=self.grid, pad0=self.pad0)
+        t0 = _time.time()
+        t = 0.0
+        done = 0
+        ni_tot = ki_tot = 0
+        while done < n_total:
+            n = min(chunk, n_total - done)
+            state, ok, ni, ki = self._multi_step_jit(state, n)
+            if not bool(ok):
+                raise RuntimeError(
+                    f"Newton failed to converge in steps {done}..{done + n}")
+            done += n
+            t = done * self.dt
+            ni_tot += int(ni)
+            ki_tot += int(ki)
+            if writer is not None:
+                writer.write(t, state)
+            ce = oc.checkpoint_every
+            if ce and done % ce == 0:
+                self.save_checkpoint(
+                    f"{oc.output_dir}/sharded_ckpt_{done:06d}", state,
+                    extra={"t": t, "done": done})
+            if progress:
+                print(f"t={t:.3f}")
+        if writer is not None:
+            writer.close()
+        self.elapsed_seconds = _time.time() - t0
+        self.newton_iters = ni_tot
+        self.krylov_iters = ki_tot
+        return state
+
+    def save_checkpoint(self, out_dir: str, state: ViscoState,
+                        extra: dict | None = None) -> None:
+        from fem_glass_tempering_tpu.io.sharded import save_sharded_checkpoint
+        save_sharded_checkpoint(out_dir, state, extra=extra)
+
+    def load_checkpoint(self, out_dir: str) -> ViscoState:
+        """Restore a sharded checkpoint directly onto this problem's mesh
+        (per-shard piece reads, no host-global array)."""
+        from fem_glass_tempering_tpu.io.sharded import load_sharded_checkpoint
+        state, _ = load_sharded_checkpoint(
+            out_dir, self._state_shardings, dtype=self.dtype)
+        return state
+
     def gather_state(self, state: ViscoState) -> ViscoState:
         """Device-sharded grid state -> host flat-layout ViscoState for the
         shared writers / checkpointing."""
