@@ -27,6 +27,10 @@ import jax
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+from fem_glass_tempering_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from fem_glass_tempering_tpu.config import (  # noqa: E402
     FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
 )

@@ -78,6 +78,9 @@ def _parse_element(s: str) -> tuple[str, int]:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from fem_glass_tempering_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from fem_glass_tempering_tpu.config import RunConfig
     from fem_glass_tempering_tpu.fem.mesh import (
         box_mesh_2d, box_mesh_3d, read_msh, reference_glass_mesh_1d,

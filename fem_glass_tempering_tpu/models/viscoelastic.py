@@ -53,6 +53,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -167,7 +168,11 @@ class ViscoelasticEngine:
         nT = self.fs_T.n_scalar_dofs
         nS = self.fs_sigma.n_scalar_dofs
         d = self.dim
-        f = lambda shape, v=0.0: jnp.full(shape, v, dtype=self.dtype)
+        # numpy + device_put, NOT jnp.full: each eager fill compiles a tiny
+        # program — ~8 distinct shapes per init through the remote-TPU
+        # tunnel is tens of seconds of pure compile latency
+        f = lambda shape, v=0.0: jax.device_put(
+            np.full(shape, v, dtype=np.dtype(self.dtype)))
         return ViscoState(
             t=jnp.asarray(0.0, dtype=self.dtype),
             T=f((nT,), p.T_0),

@@ -237,37 +237,50 @@ class HeatOperator:
     # ------------------------------------------------------------------
     def _build_constant_diag(self) -> tuple:
         """T-independent parts of diag(J), split so dt can stay a traced
-        scalar: (mass_diag, stiff_diag) with diag = mass + dt * stiff."""
+        scalar: (mass_diag, stiff_diag) with diag = mass + dt * stiff.
+
+        Computed entirely in NUMPY: eager jnp ops at construction each
+        compile and dispatch a tiny program through the remote-TPU tunnel
+        (measured: a DG HeatOperator cost ~670 s in setup dominated by a
+        handful of eager einsum/scatter compiles; every MG level repeats
+        the constructor). Host assembly transfers two vectors once."""
         p = self.params
-        c = self.dofmap.shape[0]
+        c = self.np_dofmap.shape[0]
+        n = self.n_dofs
+        phi = self.np_phi
+
+        def scat(vals_cell, dofmap):
+            return np.bincount(dofmap.reshape(-1),
+                               weights=vals_cell.reshape(-1), minlength=n)
+
         if self.uniform:
-            dm_row = self.c_mass * jnp.einsum(
-                "q,ql,ql->l", self.qw, self.phi, self.phi)
-            ds_row = self.c_diff * jnp.einsum(
-                "q,qlg,qlg->l", self.qw, self.gphi, self.gphi)
-            d_mass = self._scatter(
-                jnp.broadcast_to(dm_row, (c,) + dm_row.shape), self.dofmap)
-            d_stiff = self._scatter(
-                jnp.broadcast_to(ds_row, (c,) + ds_row.shape), self.dofmap)
+            dm_row = self.c_mass * np.einsum(
+                "q,ql,ql->l", self.np_qw, phi, phi)
+            ds_row = self.c_diff * np.einsum(
+                "q,qlg,qlg->l", self.np_qw, self.np_gphi, self.np_gphi)
+            d_mass = scat(np.broadcast_to(dm_row, (c,) + dm_row.shape),
+                          self.np_dofmap)
+            d_stiff = scat(np.broadcast_to(ds_row, (c,) + ds_row.shape),
+                           self.np_dofmap)
         else:
-            d_mass = self._scatter(
-                self.c_mass * jnp.einsum(
-                    "cq,ql,ql->cl", self.qw, self.phi, self.phi),
-                self.dofmap)
-            d_stiff = self._scatter(
-                self.c_diff * jnp.einsum(
-                    "cq,cqlg,cqlg->cl", self.qw, self.gphi, self.gphi),
-                self.dofmap)
+            d_mass = scat(self.c_mass * np.einsum(
+                "cq,ql,ql->cl", self.np_qw, phi, phi), self.np_dofmap)
+            d_stiff = scat(self.c_diff * np.einsum(
+                "cq,cqlg,cqlg->cl", self.np_qw, self.np_gphi, self.np_gphi),
+                self.np_dofmap)
         if self.is_dg:
-            coef = self.c_diff * self.i_qw
-            pen_h = (p.dg_penalty / self.i_h_p)[:, None]
-            d_p = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_p, self.i_phi_p) \
-                - jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_p, self.i_dnphi_p)
-            d_m = jnp.einsum("fq,fql,fql->fl", coef * pen_h, self.i_phi_m, self.i_phi_m) \
-                + jnp.einsum("fq,fql,fql->fl", coef, self.i_phi_m, self.i_dnphi_m)
-            d_stiff += self._scatter(d_p, self.i_dofmap_p)
-            d_stiff += self._scatter(d_m, self.i_dofmap_m)
-        return d_mass, d_stiff
+            coef = self.c_diff * self.np_i["qw"]
+            pen_h = (p.dg_penalty / self.np_i["h_p"])[:, None]
+            phi_p, phi_m = self.np_i["phi_p"], self.np_i["phi_m"]
+            dn_p, dn_m = self.np_i["dnphi_p"], self.np_i["dnphi_m"]
+            d_p = np.einsum("fq,fql,fql->fl", coef * pen_h, phi_p, phi_p) \
+                - np.einsum("fq,fql,fql->fl", coef, phi_p, dn_p)
+            d_m = np.einsum("fq,fql,fql->fl", coef * pen_h, phi_m, phi_m) \
+                + np.einsum("fq,fql,fql->fl", coef, phi_m, dn_m)
+            d_stiff += scat(d_p, self.np_i["dofmap_p"])
+            d_stiff += scat(d_m, self.np_i["dofmap_m"])
+        return (jnp.asarray(d_mass, dtype=self.dtype),
+                jnp.asarray(d_stiff, dtype=self.dtype))
 
     def jacobian_diag(self, T: jnp.ndarray, dt=None) -> jnp.ndarray:
         """Exact diag(dF/dT) at T — Jacobi preconditioner for CG."""

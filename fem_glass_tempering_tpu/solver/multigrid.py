@@ -572,8 +572,10 @@ class DGMultigrid:
             v = w / np.linalg.norm(w)
         self._frozen_rho = rho * 1.05
         self._frozen_smoother_data = data
-        self.cg_mg.freeze_omegas(self.restrict_state(
-            jnp.asarray(T_dg0, dtype=self.dtype)), dt)
+        # freeze_omegas never uses the fine state (Gershgorin from numpy
+        # row stats); the previous restrict_state(T_dg0) here was a pure
+        # eager-dispatch cost through the remote-TPU tunnel
+        self.cg_mg.freeze_omegas(None, dt)
 
     # ---- apply -------------------------------------------------------
     def preconditioner(self, T_dg, dt):
