@@ -94,6 +94,18 @@ class GridShardedProblem:
         self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad)
         self.grid = self.grid_op.grid
         self.pad0 = pad
+        # mixed precision (f64 Newton / f32 Krylov): f32 operator twins,
+        # exactly the single-device route to the reference's rtol 1e-12
+        # on TPU (models/problem.py; TPUs have no native f64)
+        self._mixed = (config.solver.cg_dtype == "float32"
+                       and self.dtype == jnp.float64)
+        self.grid_op32 = None
+        if self._mixed:
+            heat32 = HeatOperator(self.fs_T, self.params, self.dt,
+                                  dtype=jnp.float32,
+                                  form=getattr(config, "heat_form",
+                                               "reference"))
+            self.grid_op32 = GridHeatOperator(heat32, pad_axis0=pad)
         # geometric-MG preconditioner, grid-native so it shards with the
         # step (solver/grid_mg.py) — the GAMG-under-MPI transparency of
         # the reference (/root/reference/ThermoViscoProblem.py:339-346):
@@ -102,13 +114,15 @@ class GridShardedProblem:
         if config.solver.preconditioner == "mg":
             from fem_glass_tempering_tpu.solver.grid_mg import GridMG
             heat_form = getattr(config, "heat_form", "reference")
+            mg_dtype = jnp.float32 if self._mixed else self.dtype
+            mg_fine = self.grid_op32 if self._mixed else self.grid_op
 
             def make_heat_operator(level_mesh):
                 fs = FunctionSpace(level_mesh, "CG", 1)
                 return HeatOperator(fs, self.params, self.dt,
-                                    dtype=self.dtype, form=heat_form)
+                                    dtype=mg_dtype, form=heat_form)
 
-            self.grid_mg = GridMG(self.grid_op, make_heat_operator,
+            self.grid_mg = GridMG(mg_fine, make_heat_operator,
                                   smoother=config.solver.mg_smoother)
             self.grid_mg.freeze_rhos(self.dt)
         # equilibrium mechanics, gather-free and grid-shaped so it shards
@@ -180,23 +194,54 @@ class GridShardedProblem:
 
         mg = self.grid_mg
         mech_fn = self.mech
+        g32 = self.grid_op32
+        mixed = self._mixed
+        f32 = jnp.float32
+        # f32 residual norms cannot certify tighter than ~1e-6
+        cg_rtol_eff = max(sc.cg_rtol, 1e-6) if mixed else sc.cg_rtol
+        # residual noise floor (solver/newton.py): auto for mixed precision
+        # on TPU, where f64 is double-float emulation (models/problem.py)
+        noise_rel = sc.newton_noise_rel
+        if noise_rel is None:
+            noise_rel = (64 * 2.0 ** -49) if (
+                mixed and jax.default_backend() == "tpu") else 0.0
 
         def step(state: ViscoState, dt):
-            if mg is not None:
-                precond_fn = lambda T: mg.preconditioner_g(
-                    mg.linearization_states_g(T), dt)
-                diag_fn = None
+            if mixed:
+                dt32 = jnp.asarray(dt, f32)
+                cast = lambda T: T.astype(f32)
+                matvec_fn = lambda T: g32.make_matvec_g(cast(T), dt32)
+                if mg is not None:
+                    precond_fn = lambda T: mg.preconditioner_g(
+                        mg.linearization_states_g(cast(T)), dt32)
+                    diag_fn = None
+                else:
+                    precond_fn = None
+                    diag_fn = lambda T: g32.jacobian_diag_g(cast(T), dt32)
             else:
-                precond_fn = None
-                diag_fn = lambda T: g.jacobian_diag_g(T, dt)
+                matvec_fn = lambda T: g.make_matvec_g(T, dt)
+                if mg is not None:
+                    precond_fn = lambda T: mg.preconditioner_g(
+                        mg.linearization_states_g(T), dt)
+                    diag_fn = None
+                else:
+                    precond_fn = None
+                    diag_fn = lambda T: g.jacobian_diag_g(T, dt)
+            noise_fn = None
+            if noise_rel:
+                def noise_fn(T):
+                    d = g.jacobian_diag_g(T, dt) * T
+                    return noise_rel * jnp.sqrt(jnp.vdot(d, d))
             res = newton_solve(
                 lambda T: g.residual_g(T, state.T, dt), state.T,
                 jac_diag_fn=diag_fn,
                 precond_fn=precond_fn,
-                matvec_fn=lambda T: g.make_matvec_g(T, dt),
+                matvec_fn=matvec_fn,
+                noise_fn=noise_fn,
                 rtol=sc.newton_rtol, atol=sc.newton_atol,
-                max_it=sc.newton_max_it, cg_rtol=sc.cg_rtol,
+                max_it=sc.newton_max_it, cg_rtol=cg_rtol_eff,
                 cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
+                cg_cast=f32 if mixed else None,
             )
             new_state = engine.material_step_with(state, res.x, ident, dt,
                                                   mech=mech_fn)
@@ -213,6 +258,9 @@ class GridShardedProblem:
         bundle = TableBundle()
         bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
                             "bc_mask_g", "bc_values_g"))
+        if g32 is not None:
+            bundle.register(g32, ("vals_mass", "vals_stiff", "M1g",
+                                  "bc_mask_g", "bc_values_g"))
         if mg is not None:
             for op in mg.ops[1:]:
                 bundle.register(op, ("vals_mass", "vals_stiff", "M1g",

@@ -346,6 +346,55 @@ class GridElastMG:
         Ug = Ug * free[..., :, None] * free_next[..., None, :]
         return Dg, Ug
 
+    # Batched small-block algebra as multiply+reduce, NOT batched
+    # dot_general / linalg: the axon TPU runtime compiles chains of tiny
+    # batched contractions pathologically (minutes per einsum, measured —
+    # the round-2 'DG device fault' wedge); elementwise+reduce lowers to
+    # plain VPU code.
+    @staticmethod
+    def _bmv(M, v):
+        """(..., a, b) x (..., b) -> (..., a)"""
+        return (M * v[..., None, :]).sum(-1)
+
+    @staticmethod
+    def _bmm(A, B):
+        """(..., a, b) x (..., b, e) -> (..., a, e)"""
+        return (A[..., :, :, None] * B[..., None, :, :]).sum(-2)
+
+    @staticmethod
+    def _inv_small(M):
+        """Closed-form batched inverse for 1x1/2x2/3x3 blocks (adjugate)
+        — avoids batched linalg on the TPU runtime."""
+        d = M.shape[-1]
+        if d == 1:
+            return 1.0 / M
+        if d == 2:
+            a, b = M[..., 0, 0], M[..., 0, 1]
+            c, e = M[..., 1, 0], M[..., 1, 1]
+            det = a * e - b * c
+            return jnp.stack([
+                jnp.stack([e, -b], axis=-1),
+                jnp.stack([-c, a], axis=-1)], axis=-2) / det[..., None, None]
+        if d == 3:
+            m = M
+            c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+            c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+            c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+            c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+            c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+            c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+            c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+            c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+            c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+            det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c01
+                   + m[..., 0, 2] * c02)
+            adj = jnp.stack([
+                jnp.stack([c00, c10, c20], axis=-1),
+                jnp.stack([c01, c11, c21], axis=-1),
+                jnp.stack([c02, c12, c22], axis=-1)], axis=-2)
+            return adj / det[..., None, None]
+        return jnp.linalg.inv(M)
+
     def _column_solver(self, i, Dg, Ug):
         """Batched block-Thomas factorization of every line; returns
         zsolve(r) over (*grid, d) arrays."""
@@ -365,27 +414,25 @@ class GridElastMG:
 
         D = to_cols(Dg, 2)
         U = to_cols(Ug, 2)
-        invD = [jnp.linalg.inv(D[:, 0])]
+        invD = [self._inv_small(D[:, 0])]
         Ls = []
         for k in range(1, nzc):
             # lower block at row k is U_{k-1}^T (symmetric operator)
-            Lk = jnp.einsum("cba,cbe->cae", U[:, k - 1], invD[-1])
-            Dk = D[:, k] - jnp.einsum("cab,cbe->cae", Lk, U[:, k - 1])
-            invD.append(jnp.linalg.inv(Dk))
+            Lk = self._bmm(jnp.swapaxes(U[:, k - 1], -1, -2), invD[-1])
+            Dk = D[:, k] - self._bmm(Lk, U[:, k - 1])
+            invD.append(self._inv_small(Dk))
             Ls.append(Lk)
 
         def zsolve(r):
             rg = to_cols(r, 1)                              # (ncol, nzc, d)
             y = [rg[:, 0]]
             for k in range(1, nzc):
-                y.append(rg[:, k]
-                         - jnp.einsum("cab,cb->ca", Ls[k - 1], y[-1]))
+                y.append(rg[:, k] - self._bmv(Ls[k - 1], y[-1]))
             x = [None] * nzc
-            x[-1] = jnp.einsum("cab,cb->ca", invD[-1], y[-1])
+            x[-1] = self._bmv(invD[-1], y[-1])
             for k in range(nzc - 2, -1, -1):
-                x[k] = jnp.einsum(
-                    "cab,cb->ca", invD[k],
-                    y[k] - jnp.einsum("cab,cb->ca", U[:, k], x[k + 1]))
+                x[k] = self._bmv(
+                    invD[k], y[k] - self._bmv(U[:, k], x[k + 1]))
             xg = jnp.stack(x, axis=1)                       # (ncol, nzc, d)
             shape_perm = tuple(grid[j] for j in perm) + (d,)
             xg = xg.reshape(shape_perm)

@@ -434,13 +434,22 @@ class DGMultigrid:
             Ls.append(Lk)
         return {"invD": invD, "Ls": Ls, "BpT": Bp.T}
 
+    @staticmethod
+    def _bmv(M, v):
+        """Batched small-block matvec as multiply+reduce instead of a
+        batched dot_general: the axon TPU runtime compiles chains of tiny
+        batched einsum contractions pathologically (minutes per op,
+        measured; the round-2 'DG device fault' program wedged here).
+        mul+sum lowers to plain VPU elementwise+reduce."""
+        return (M * v[..., None, :]).sum(-1)
+
     def _zsolve_apply(self, data, r):
         if "diag" in data:
             return r / data["diag"]
         if "inv_self" in data:
             C, nloc = self.stencil.C, self.stencil.nloc
-            return jnp.einsum("clm,cm->cl", data["inv_self"],
-                              r.reshape(C, nloc)).reshape(-1)
+            return self._bmv(data["inv_self"],
+                             r.reshape(C, nloc)).reshape(-1)
         st = self.stencil
         a = self.col_axis
         dims = st.cell_dims
@@ -455,11 +464,11 @@ class DGMultigrid:
         rg = jnp.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
         y = [rg[:, 0]]
         for k in range(1, nzc):
-            y.append(rg[:, k] - jnp.einsum("clk,ck->cl", Ls[k - 1], y[-1]))
+            y.append(rg[:, k] - self._bmv(Ls[k - 1], y[-1]))
         x = [None] * nzc
-        x[-1] = jnp.einsum("clm,cm->cl", invD[-1], y[-1])
+        x[-1] = self._bmv(invD[-1], y[-1])
         for k in range(nzc - 2, -1, -1):
-            x[k] = jnp.einsum("clm,cm->cl", invD[k], y[k] - x[k + 1] @ BpT)
+            x[k] = self._bmv(invD[k], y[k] - self._bmv(BpT.T, x[k + 1]))
         xg = jnp.stack(x, axis=1)                         # (ncol, nzc, nloc)
         shape_perm = tuple(dims[i] for i in perm) + (nloc,)
         xg = xg.reshape(shape_perm)

@@ -79,6 +79,33 @@ def test_sharded_mg_cuts_iterations_vs_jacobi():
     assert kim < kij / 2, (kim, kij)
 
 
+def test_sharded_mixed_precision_matches_f64():
+    """Mixed precision (f64 Newton / f32 MG-CG) in the GSPMD path at the
+    reference's rtol 1e-12 — the multi-chip route to reference tolerance
+    on TPU — matches the full-f64 sharded solve."""
+    import dataclasses
+
+    mesh = box_mesh_3d(12, 6, 4, 1.0, 1.0, 0.01)
+    cfg = _cfg()
+    f64p = GridShardedProblem(mesh, cfg)
+    s64, ok64, _, _ = f64p.run(f64p.init_state(), 3)
+    assert ok64
+
+    mixed_cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, cg_dtype="float32",
+                                        newton_rtol=1e-12))
+    mp = GridShardedProblem(mesh, mixed_cfg)
+    assert mp._mixed and mp.grid_op32 is not None
+    sm, okm, _, _ = mp.run(mp.init_state(), 3)
+    assert okm
+    a = f64p.gather_state(s64)
+    b = mp.gather_state(sm)
+    np.testing.assert_allclose(np.asarray(b.T), np.asarray(a.T),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(b.Tf), np.asarray(a.Tf),
+                               rtol=1e-10)
+
+
 def test_sharded_mg_matches_flat_geometric_mg():
     """GridMG (grid-shaped, shardable) reproduces the flat GeometricMG
     solution used by the single-device driver path."""
