@@ -46,13 +46,17 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.1)
     ap.add_argument("--precond", default="mg")
+    ap.add_argument("--dg", action="store_true",
+                    help="DG-1 temperature space (the reference's default "
+                         "element, main.py:25) with the column-smoothed "
+                         "p-multigrid")
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
     mesh = box_mesh_3d(args.nx, args.ny, args.nz, lx=1.0, ly=1.0, lz=0.01)
     cfg = RunConfig(
-        fe=FEConfig(T_family="CG", T_degree=1),
+        fe=FEConfig(T_family="DG" if args.dg else "CG", T_degree=1),
         time=TimeConfig(0.0, args.steps * args.dt, args.dt),
         solver=SolverConfig(
             newton_rtol=1e-12, newton_atol=1e-10,

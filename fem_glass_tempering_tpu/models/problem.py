@@ -172,11 +172,12 @@ class ThermoViscoProblem:
         # gather-free grid-native path (residual + diag + stencil values as
         # static slice ops — ops/grid.py) when the mesh/space qualify
         self._grid = None
-        if getattr(sc, "grid_native", "auto") != "off" and flux_marker is None:
+        if getattr(sc, "grid_native", "auto") != "off":
             from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
             try:
                 self._grid = GridHeatOperator(
-                    self.heat, use_pallas=self.config.use_pallas)
+                    self.heat, use_pallas=self.config.use_pallas,
+                    flux_marker=flux_marker)
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
@@ -262,7 +263,8 @@ class ThermoViscoProblem:
             if self._grid is not None:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
                 self._grid32 = GridHeatOperator(
-                    self._heat32, use_pallas=self.config.use_pallas)
+                    self._heat32, use_pallas=self.config.use_pallas,
+                    flux_marker=flux_marker)
             if sc.preconditioner == "mg":
                 if (self.mesh.structured is None or self.fs_T.degree != 1
                         or self.fs_T.family not in ("CG", "DG")):

@@ -51,12 +51,18 @@ class GridHeatOperator:
     with the default whole-boundary flux (no flux_marker, no MMS source)."""
 
     def __init__(self, op: HeatOperator, pad_axis0: int = 0,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, flux_marker=None):
         """`pad_axis0` appends that many ghost node planes along grid axis
         0, wired as identity rows (residual T - T_0, unit diagonal,
         identity matvec) — used by the GSPMD path to make the sharded axis
         divisible by the device count (parallel/grid_shard.py). The flat
-        (n,)-vector API is only available unpadded."""
+        (n,)-vector API is only available unpadded.
+
+        `flux_marker(midpoints) -> bool mask` restricts the radiation +
+        convection flux to whole box faces (e.g. only the large z-faces
+        of a tempering plate, examples/full_tempering_demo.py); a marker
+        that cuts through a face is rejected — use HeatOperator's gather
+        assembly for partial-face flux."""
         fs = op.fs
         mesh = fs.mesh
         if mesh.structured is None or fs.family != "CG" or fs.degree != 1:
@@ -84,7 +90,13 @@ class GridHeatOperator:
         bg = build_boundary_geometry(mesh, fs, bq)
         if len(bg.cell) != len(mesh.boundary_cell):
             raise ValueError("flux restricted to a facet subset — grid path "
-                             "requires the default whole-boundary flux")
+                             "requires whole-boundary flux or a whole-face "
+                             "flux_marker")
+        if flux_marker is not None:
+            mids = bg.qpoints_phys.mean(axis=1)
+            keep = np.asarray(flux_marker(mids), dtype=bool)
+        else:
+            keep = np.ones(len(bg.cell), dtype=bool)
 
         # group facets by (axis, side) from the outward normal; verify the
         # uniform-grid invariant (identical tables across each face)
@@ -101,6 +113,13 @@ class GridHeatOperator:
                 sel = (axis == a) & (side == s)
                 if not sel.any():
                     continue
+                k = keep[sel]
+                if not k.any():
+                    continue          # face fully insulated by the marker
+                if not k.all():
+                    raise ValueError(
+                        "flux_marker cuts through a box face — the grid "
+                        "path handles whole faces only")
                 qw = bg.qweights[sel]
                 phi = bg.phi[sel]
                 if (np.abs(qw - qw[0]).max() > 1e-12 * max(qw.max(), 1e-30)

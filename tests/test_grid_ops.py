@@ -55,6 +55,36 @@ def test_grid_operator_matches_assembly(mesher, bc):
         rtol=1e-10, atol=1e-12)
 
 
+def test_grid_operator_whole_face_flux_marker():
+    """Face-restricted flux (e.g. only the large z-faces of a tempering
+    plate, examples/full_tempering_demo.py) through the grid fast path ==
+    the gather assembly with the same marker."""
+    mesh = box_mesh_3d(5, 4, 3, 1.0, 1.0, 0.01)
+    fs = FunctionSpace(mesh, "CG", 1)
+    p = ModelParams()
+    zmark = lambda m: (m[:, 2] < 1e-12) | (m[:, 2] > 0.01 - 1e-12)
+    op = HeatOperator(fs, p, 0.1, flux_marker=zmark)
+    g = GridHeatOperator(op, flux_marker=zmark)
+    assert len(g.faces) == 2
+    rng = np.random.default_rng(0)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    Tp = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    np.testing.assert_allclose(
+        np.asarray(g.residual(T, Tp, 0.1)),
+        np.asarray(op.residual(T, Tp, 0.1)), rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(g.jacobian_diag(T, 0.1)),
+        np.asarray(op.jacobian_diag(T, 0.1)), rtol=1e-12)
+    jv = jax.jvp(lambda u: op.residual(u, Tp, 0.1), (T,), (v,))[1]
+    np.testing.assert_allclose(
+        np.asarray(g.make_matvec(T, 0.1)(v)), np.asarray(jv),
+        rtol=1e-10, atol=1e-12)
+    # a marker cutting through a face must be rejected
+    with pytest.raises(ValueError):
+        GridHeatOperator(op, flux_marker=lambda m: m[:, 0] < 0.3)
+
+
 def test_grid_padded_identity_rows():
     """Ghost planes appended for GSPMD divisibility behave as identity
     rows and leave the physical dofs bit-consistent with the unpadded
