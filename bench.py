@@ -90,11 +90,20 @@ def run_backend(steps: int, preconditioner: str,
     # timed run: a FRESH initial state so the measured window contains the
     # full nonlinear transient (late near-equilibrium steps are trivial
     # and would flatter the number); program identical -> cache hit
-    state0 = prob.engine.init_state()
-    t0 = time.perf_counter()
-    state, ok, ni, ki = prob._multi_step_jit(state0, steps)
-    jax.block_until_ready(state)
-    elapsed = time.perf_counter() - t0
+    # The fresh state must be device-resident BEFORE the clock starts:
+    # through the remote tunnel the host->device upload of the initial
+    # pytree is large and variable (measured: 718 vs 1150 ms/step
+    # run-to-run with the upload inside the window). Min of 3 repeats.
+    repeats = 3 if jax.devices()[0].platform != "cpu" else 1
+    elapsed = None
+    for _ in range(repeats):
+        state0 = jax.block_until_ready(
+            jax.device_put(prob.engine.init_state()))
+        t0 = time.perf_counter()
+        state, ok, ni, ki = prob._multi_step_jit(state0, steps)
+        jax.block_until_ready(state)
+        el = time.perf_counter() - t0
+        elapsed = el if elapsed is None else min(elapsed, el)
     assert bool(ok), "Newton failed in timed run"
     ms = elapsed / steps * 1e3
     n = prob.fs_T.n_scalar_dofs

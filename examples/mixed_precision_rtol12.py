@@ -51,6 +51,13 @@ def main():
                          "element, main.py:25) with the column-smoothed "
                          "p-multigrid")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="split the window into dispatches of this many "
+                         "steps (0 = one dispatch): dispatches longer "
+                         "than a few minutes can hit the remote-TPU "
+                         "tunnel's execution deadline (observed as "
+                         "UNAVAILABLE device errors on the 20-step DG "
+                         "window)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -74,18 +81,33 @@ def main():
 
     state0 = prob.state
     n = args.steps
+    chunk = args.chunk if args.chunk > 0 else n
+
+    def run_window(state):
+        ok = True
+        ni = ki = 0
+        done = 0
+        while done < n:
+            m = min(chunk, n - done)
+            state, o, i, k = prob._multi_step_jit(state, m)
+            ok, ni, ki = ok and bool(o), ni + int(i), ki + int(k)
+            done += m
+        jax.block_until_ready(state.T)
+        return state, ok, ni, ki
+
     if not args.no_warmup:
         t0 = time.perf_counter()
-        st, ok, ni, ki = prob._multi_step_jit(state0, n)
-        jax.block_until_ready(st.T)
+        st, ok, ni, ki = run_window(state0)
         print(f"warmup (compile + {n} steps): "
-              f"{time.perf_counter() - t0:.1f}s ok={bool(ok)} "
-              f"newton={int(ni)} cg={int(ki)}", file=sys.stderr, flush=True)
+              f"{time.perf_counter() - t0:.1f}s ok={ok} "
+              f"newton={ni} cg={ki}", file=sys.stderr, flush=True)
         state0 = prob.engine.init_state()
 
+    # device-resident before the clock: the initial-state upload through
+    # the tunnel is large and variable (see bench.py)
+    state0 = jax.block_until_ready(jax.device_put(state0))
     t0 = time.perf_counter()
-    st, ok, ni, ki = prob._multi_step_jit(state0, n)
-    jax.block_until_ready(st.T)
+    st, ok, ni, ki = run_window(state0)
     dt_s = time.perf_counter() - t0
     import numpy as np
     T = np.asarray(st.T)

@@ -105,6 +105,17 @@ class SolverConfig:
     cg_max_it: int = 1000
     preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
     mg_smoother: str = "jacobi"     # 'jacobi' | 'chebyshev' (GAMG-style)
+    # cap on the geometric-MG hierarchy depth (0 = coarsen to the floor).
+    # The small tail levels are kernel-launch-bound on TPU; a shallower
+    # hierarchy pairs with mg_coarse='dense' (solver/multigrid.py).
+    mg_max_levels: int = 0
+    # coarsest-level solve: 'auto' (default) stops coarsening at the
+    # first level <= 4096 nodes and solves it EXACTLY with a frozen
+    # dense inverse (one MXU matvec) — measured at 1M dofs: 13.0 CG
+    # iters/step vs 45.5 for the deep smooth-coarse hierarchy;
+    # 'smooth' = fixed Chebyshev/Jacobi sweeps at the full-depth floor;
+    # 'dense' = dense inverse at an explicit mg_max_levels cap
+    mg_coarse: str = "auto"
     # DG-level smoother for the DG-1 p-multigrid (solver/multigrid.py):
     # 'auto' picks 'column' (block-tridiagonal line solve along the
     # strongly coupled axis) on anisotropic plates, 'block' otherwise;

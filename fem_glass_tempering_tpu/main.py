@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "meshes, smoothed-aggregation AMG elsewhere")
     p.add_argument("--linear-operator",
                    choices=("matrix_free", "assembled", "stencil"))
+    p.add_argument("--mg-max-levels", type=int,
+                   help="cap on the geometric-MG hierarchy depth (0 = "
+                        "coarsen to the floor; small tail levels are "
+                        "launch-bound on TPU)")
+    p.add_argument("--mg-coarse", choices=("auto", "smooth", "dense"),
+                   help="coarsest-level solve: auto = stop at <=4096 "
+                        "nodes and solve exactly with a frozen dense "
+                        "inverse (one MXU matvec); smooth = Chebyshev "
+                        "sweeps at the full-depth floor; dense = dense "
+                        "inverse at an explicit --mg-max-levels cap")
     p.add_argument("--cg-dtype", choices=("same", "float32"),
                    help="float32 runs the inner CG in f32 under an f64 "
                         "outer Newton (mixed precision)")
@@ -136,6 +146,10 @@ def main(argv=None) -> int:
         sc = dataclasses.replace(sc, linear_operator=args.linear_operator)
     if args.cg_dtype:
         sc = dataclasses.replace(sc, cg_dtype=args.cg_dtype)
+    if args.mg_max_levels is not None:
+        sc = dataclasses.replace(sc, mg_max_levels=args.mg_max_levels)
+    if args.mg_coarse:
+        sc = dataclasses.replace(sc, mg_coarse=args.mg_coarse)
     cfg = dataclasses.replace(cfg, solver=sc)
 
     if args.mesh:

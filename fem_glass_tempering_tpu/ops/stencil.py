@@ -151,6 +151,45 @@ class StencilMatrix:
                 blocks.reshape(-1)).reshape(vals.shape)
         return vals
 
+    def np_dense(self, T0: float, dt: float) -> np.ndarray:
+        """Dense (n, n) Jacobian at the uniform temperature T0, assembled
+        entirely on the HOST from the numpy stencil sources — for the
+        frozen direct coarse solve of the MG hierarchy
+        (solver/multigrid.py coarse='dense'). Mirrors values_at(T0, dt)
+        exactly: mass + dt*stiffness + the boundary (radiation +
+        convection) linearization, then Dirichlet identity rows matching
+        the masked matvec."""
+        op = self.op
+        n, d = self.n, self.d
+        grid = self.grid
+        vals = (self.np_mass + dt * self.np_stiff)
+        A = np.zeros((n, n))
+        idx = np.arange(n).reshape(grid)
+        for o, off in enumerate(self.offsets):
+            delta = [int(v) - 1 for v in off]
+            rows_sl = tuple(slice(max(0, -dl), g - max(0, dl))
+                            for dl, g in zip(delta, grid))
+            cols_sl = tuple(slice(max(0, dl), g - max(0, -dl))
+                            for dl, g in zip(delta, grid))
+            A[idx[rows_sl].ravel(), idx[cols_sl].ravel()] = \
+                vals[o][rows_sl].ravel()
+        bdm = op.np_b_dofmap.astype(np.int64)
+        if len(bdm):
+            p = op.params
+            dflux0 = p.boundary_scale * (
+                4.0 * p.sigma * p.epsilon * float(T0) ** 3 + p.htc)
+            blocks = np.einsum("fq,fql,fqm->flm", op.np_b_qw * (dt * dflux0),
+                               op.np_b_phi, op.np_b_phi)
+            np.add.at(A, (np.broadcast_to(bdm[:, :, None], blocks.shape),
+                          np.broadcast_to(bdm[:, None, :], blocks.shape)),
+                      blocks)
+        if op.has_bc:
+            mask = np.asarray(op.bc_mask)
+            A[mask, :] = 0.0
+            A[:, mask] = 0.0
+            A[np.ix_(mask, mask)] = np.eye(int(mask.sum()))
+        return A
+
     def matvec_g(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
         """Grid-shaped matvec: (n_off, *grid) values x (*grid) -> (*grid).
         Pure static pad+slice shifts — under a sharded node grid XLA
@@ -353,6 +392,14 @@ class DGStencilMatrix:
         self.np_self_stiff = self_stiff
         self.np_Bp = [np.asarray(b) for b in Bp]
         self.np_Bm = [np.asarray(b) for b in Bm]
+        # source row integral per cell dof: ∫ φ_l = Σ_q qw φ_l (the f term
+        # of the residual, HeatOperator._base_residual mass_src)
+        if qw.ndim == 1:
+            f1 = np.broadcast_to(np.einsum("q,ql->l", qw, phi),
+                                 (C, nloc)).copy()
+        else:
+            f1 = np.einsum("cq,ql->cl", qw, phi)
+        self.f1 = jnp.asarray(f1, dtype=op.dtype)
         self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
         self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
         # boundary (exterior facet) cells for the per-Newton radiation blocks
@@ -412,6 +459,58 @@ class DGStencilMatrix:
             return lambda v: jnp.where(
                 mask, v, self.matvec(vals, dt, jnp.where(mask, 0.0, v)))
         return lambda v: self.matvec(vals, dt, v)
+
+    # ------------------------------------------------------------------
+    # Gather-free residual / diag: the OUTER Newton loop's per-iteration
+    # work. Everything but the boundary flux is linear in T and already
+    # encoded by the block stencil, so the residual is one stencil matvec
+    # plus a boundary-layer term — replacing HeatOperator's full
+    # facet-gather assembly (dofmap gathers + segment_sums over ~3C
+    # facets), which dominates the DG step in emulated f64 on TPU.
+    # Matches HeatOperator.residual to machine precision (tested).
+    def _base_residual(self, T, T_prev, dt):
+        op = self.op
+        p = op.params
+        nloc = self.nloc
+        Tc = T.reshape(self.C, nloc)
+        Tpc = T_prev.reshape(self.C, nloc)
+        # mass acts on the per-step DIFFERENCE (small vs ~800 K values —
+        # the same f32/emulated-f64 health trick as ops/grid.py)
+        r = ((self.self_mass * (Tc - Tpc)[:, None, :]).sum(-1)
+             - (dt * p.f) * self.f1).reshape(-1)
+        # (K + SIPG) annihilates constant fields exactly, so apply it to
+        # T - mean(T): the ~800 K constant part would otherwise leave a
+        # row-sum cancellation bias (the ops/grid.py difference-form
+        # rationale, done here with one scalar shift)
+        r = r + dt * self.matvec(self.self_stiff, 1.0, T - jnp.mean(T))
+        if self.b_cell is not None:
+            Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
+            gflux = p.boundary_scale * (
+                (p.sigma * p.epsilon) * (Tb**4 - p.T_ambient**4)
+                + p.htc * (Tb - p.T_ambient))
+            r_b = jnp.einsum("fq,fql->fl", op.b_qw * dt * gflux, op.b_phi)
+            r = r.reshape(self.C, nloc).at[self.b_cell].add(
+                r_b).reshape(-1)
+        return r
+
+    def residual(self, T: jnp.ndarray, T_prev: jnp.ndarray,
+                 dt=None) -> jnp.ndarray:
+        op = self.op
+        dt = op.dt if dt is None else dt
+        if not op.has_bc:
+            return self._base_residual(T, T_prev, dt)
+        T_eff = jnp.where(op.bc_mask, op.bc_values, T)
+        r = self._base_residual(T_eff, T_prev, dt)
+        return jnp.where(op.bc_mask, T - op.bc_values, r)
+
+    def jacobian_diag(self, T: jnp.ndarray, dt=None) -> jnp.ndarray:
+        op = self.op
+        dt = op.dt if dt is None else dt
+        vals = self.values_at(T, dt)                     # (C, nloc, nloc)
+        d = jnp.einsum("cll->cl", vals).reshape(-1)
+        if op.has_bc:
+            d = jnp.where(op.bc_mask, 1.0, d)
+        return d
 
 
 def make_stencil_operator(op: HeatOperator):

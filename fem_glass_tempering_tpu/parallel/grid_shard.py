@@ -122,8 +122,14 @@ class GridShardedProblem:
                 return HeatOperator(fs, self.params, self.dt,
                                     dtype=mg_dtype, form=heat_form)
 
-            self.grid_mg = GridMG(mg_fine, make_heat_operator,
-                                  smoother=config.solver.mg_smoother)
+            self.grid_mg = GridMG(
+                mg_fine, make_heat_operator,
+                smoother=config.solver.mg_smoother,
+                # 'dense' (explicit cap) maps to 'auto' here: GridMG's
+                # dense coarse is always the auto stopping rule
+                coarse=("smooth" if getattr(config.solver, "mg_coarse",
+                                            "auto") == "smooth"
+                        else "auto"))
             self.grid_mg.freeze_rhos(self.dt)
         # equilibrium mechanics, gather-free and grid-shaped so it shards
         # with the step (models/mechanics.py GridMechanicsCoupling)
@@ -262,6 +268,7 @@ class GridShardedProblem:
             bundle.register(g32, ("vals_mass", "vals_stiff", "M1g",
                                   "bc_mask_g", "bc_values_g"))
         if mg is not None:
+            bundle.register(mg, ("coarse_inv",))
             for op in mg.ops[1:]:
                 bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
                                      "bc_mask_g", "bc_values_g"))

@@ -78,11 +78,14 @@ class GeometricMG:
                  nu_post: int = 2, omega: float = 0.67,
                  coarse_iters: int = 24, min_level_nodes: int = 27,
                  use_stencil: bool = True, smoother: str = "jacobi",
+                 max_levels: int = 0, coarse: str = "auto",
                  dtype=jnp.float64):
         if mesh.structured is None:
             raise ValueError("geometric MG needs a structured box mesh")
         if smoother not in ("jacobi", "chebyshev"):
             raise ValueError(smoother)
+        if coarse not in ("auto", "smooth", "dense"):
+            raise ValueError(coarse)
         self.nu_pre, self.nu_post = nu_pre, nu_post
         self.omega = omega
         self.coarse_iters = coarse_iters
@@ -99,9 +102,26 @@ class GeometricMG:
         lengths = tuple(mesh.structured["lengths"])
         meta = mesh.structured
         cur_mesh = mesh
+        # 'auto' (the default): stop coarsening at the first level small
+        # enough for the frozen dense direct solve and use it as an EXACT
+        # coarse solve. Measured at 1,062,761 dofs on v5e: the 7-level
+        # hierarchy + dense coarse needs 13.0 CG iterations/step where
+        # the 9-level smooth-coarse V-cycle needs 45.5 — the approximate
+        # deep-tail coarse solve was the weak link of the cycle, and the
+        # small tail levels are kernel-launch-bound on TPU anyway.
+        dense_stop = 4096 if coarse == "auto" else 0
         while True:
             op = make_operator(cur_mesh)
             cdims = _next_dims(dims, lengths)
+            # max_levels truncates the hierarchy: the small tail levels of
+            # a deep hierarchy are kernel-launch-bound on TPU (~half of
+            # each 1M-dof V-cycle, BENCH.md) — a shallower hierarchy with
+            # a direct dense coarse solve replaces them with one matmul
+            if max_levels and len(self.levels) + 1 >= max_levels:
+                cdims = None
+            if dense_stop and int(np.prod(
+                    tuple(d + 1 for d in dims))) <= dense_stop:
+                cdims = None
             if cdims is not None and int(np.prod(
                     tuple(d + 1 for d in cdims))) >= min_level_nodes:
                 self.levels.append(MGLevel(
@@ -114,6 +134,33 @@ class GeometricMG:
                 self.levels.append(MGLevel(op=op, fine_dims=dims,
                                            coarse_dims=None, axes=None))
                 break
+        # frozen direct coarse solve: dense inverse of the coarsest-level
+        # Jacobian linearized at (T_0, the operator's construction dt),
+        # assembled host-side (numpy) and applied as ONE dense matvec on
+        # the MXU. Only the small boundary block of J depends on T (and a
+        # preconditioner tolerates a frozen linearization), so the inverse
+        # is built once here. Applied in coarse-level dtype.
+        self.coarse_inv = None
+        if coarse in ("auto", "dense"):
+            lvl = self.levels[-1]
+            n_c = int(np.prod(tuple(d + 1 for d in lvl.fine_dims)))
+            st = None
+            if n_c <= 4096:
+                st = self._stencil_for(lvl)
+            if st is not None:
+                A = st.np_dense(lvl.op.params.T_0, lvl.op.dt)
+                self.coarse_inv = jnp.asarray(np.linalg.inv(A),
+                                              dtype=dtype)
+            elif coarse == "dense":
+                if n_c > 4096:
+                    raise ValueError(
+                        f"coarse='dense' needs a coarsest level <= 4096 "
+                        f"nodes (got {n_c}); lower max_levels less or "
+                        f"keep 'smooth'")
+                raise ValueError("coarse='dense' needs a stencil-capable "
+                                 "coarsest level")
+            # 'auto' without a stencil-capable small coarsest level falls
+            # back to the fixed-sweep smooth coarse solve
 
     # ------------------------------------------------------------------
     # Lattice transfers as STRIDED SLICE ops — no gather, no transfer
@@ -174,14 +221,25 @@ class GeometricMG:
         frozen = getattr(self, "_frozen_rhos", None)
         for i, (lvl, T) in enumerate(zip(levels, T_levels)):
             op = lvl.op
-            st = self._stencil_for(lvl)
-            if st is not None:
-                f = st.make_matvec(T, dt)
+            g = self._grid_for(lvl)
+            if g is not None:
+                # gather-free build: boundary linearization via static
+                # face-slice updates (no scatter) — the per-Newton
+                # preconditioner rebuild was ~45% of the 1M step when the
+                # levels used StencilMatrix.values_at's scatter + the
+                # HeatOperator segment-sum diag (profile_phases.py)
+                f = g.make_matvec(T, dt)
+                d = g.jacobian_diag(T, dt)
             else:
-                f = (lambda op, T: lambda v: jax.jvp(
-                    lambda u: op.residual(u, T, dt), (T,), (v,))[1])(op, T)
+                st = self._stencil_for(lvl)
+                if st is not None:
+                    f = st.make_matvec(T, dt)
+                else:
+                    f = (lambda op, T: lambda v: jax.jvp(
+                        lambda u: op.residual(u, T, dt), (T,), (v,))[1])(
+                            op, T)
+                d = lvl.op.jacobian_diag(T, dt)
             matvecs.append(f)
-            d = lvl.op.jacobian_diag(T, dt)
             diags.append(d)
             if frozen is not None:
                 rhos.append(frozen[i])
@@ -230,6 +288,10 @@ class GeometricMG:
 
         def cycle(i, b):
             if levels[i].coarse_dims is None:
+                if self.coarse_inv is not None:
+                    # frozen direct solve: one (n_c, n_c) matvec
+                    return (self.coarse_inv @ b.astype(self.dtype)).astype(
+                        b.dtype)
                 # coarsest: fixed damped-Jacobi iteration
                 x = jnp.zeros_like(b)
                 return smooth(i, x, b, self.coarse_iters)
@@ -243,11 +305,28 @@ class GeometricMG:
 
         return lambda r: cycle(0, r)
 
+    def _grid_for(self, lvl: MGLevel):
+        """Cached per-level GridHeatOperator (None if the level mesh/space
+        doesn't qualify). Its embedded StencilMatrix is shared with
+        `_stencil_for` so the value tables exist once per level."""
+        if not self.use_stencil:
+            return None
+        if not hasattr(lvl, "_gridop"):
+            try:
+                from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
+                lvl._gridop = GridHeatOperator(lvl.op)
+                lvl._stencil = lvl._gridop.st
+            except Exception:
+                lvl._gridop = None
+        return lvl._gridop
+
     def _stencil_for(self, lvl: MGLevel):
         """Cached per-level StencilMatrix (None if not applicable)."""
         if not self.use_stencil:
             return None
         if not hasattr(lvl, "_stencil"):
+            if self._grid_for(lvl) is not None:
+                return lvl._stencil
             try:
                 from fem_glass_tempering_tpu.ops.stencil import StencilMatrix
                 lvl._stencil = StencilMatrix(lvl.op)

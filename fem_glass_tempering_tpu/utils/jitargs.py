@@ -56,7 +56,7 @@ class TableBundle:
             self.register_operator(op.op)
         elif name == "DGStencilMatrix":
             self.register(op, ("self_mass", "self_stiff", "Bp", "Bm",
-                               "Bp_cells", "Bm_cells", "b_cell"))
+                               "Bp_cells", "Bm_cells", "b_cell", "f1"))
             self.register_operator(op.op)
         elif name == "EllMatrix":
             self.register(op, ("vals_mass", "vals_stiff", "cols",
@@ -78,12 +78,18 @@ class TableBundle:
                 self.register_operator(lop)
             self.register(op, ("_tables",))
         elif name == "GridMG":
+            self.register(op, ("coarse_inv",))
             for lop in op.ops:
                 self.register_operator(lop)
         elif name == "GeometricMG":
             # lattice transfers are strided-slice ops with no tables;
-            # only the per-level operators carry arrays
+            # only the per-level operators (and the optional frozen dense
+            # coarse inverse) carry arrays
+            self.register(op, ("coarse_inv",))
             for lvl in op.levels:
+                g = op._grid_for(lvl)
+                if g is not None:
+                    self.register_operator(g)
                 st = op._stencil_for(lvl)
                 if st is not None:
                     self.register_operator(st)

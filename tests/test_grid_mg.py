@@ -10,6 +10,7 @@ the iteration economics of the single-device geometric MG.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from fem_glass_tempering_tpu.config import (
     FEConfig,
@@ -23,22 +24,28 @@ from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
 from fem_glass_tempering_tpu.parallel.grid_shard import GridShardedProblem
 
 
-def _cfg(preconditioner="mg", cg_rtol=1e-12):
+def _cfg(preconditioner="mg", cg_rtol=1e-12, **solver_extra):
     return RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1),
         time=TimeConfig(0.0, 0.3, 0.1),
         solver=SolverConfig(linear_operator="stencil",
                             preconditioner=preconditioner,
-                            mg_smoother="chebyshev", cg_rtol=cg_rtol),
+                            mg_smoother="chebyshev", cg_rtol=cg_rtol,
+                            **solver_extra),
         output=OutputConfig(write_every=0, formats=()),
     )
 
 
-def test_sharded_mg_matches_single_device_and_iteration_count():
+@pytest.mark.parametrize("coarse", ["smooth", "auto"])
+def test_sharded_mg_matches_single_device_and_iteration_count(coarse):
     """8-device MG-preconditioned step == 1-device step to <=1e-10 with the
-    SAME iteration counts (the V-cycle is the same program either way)."""
+    SAME iteration counts (the V-cycle is the same program either way).
+    'smooth' pins the multi-level hierarchy (sharded lattice transfers);
+    'auto' additionally exercises the frozen dense coarse solve under
+    GSPMD (at this 455-node mesh it degenerates to the pure dense
+    preconditioner on the padded sharded grid)."""
     mesh = box_mesh_3d(12, 6, 4, 1.0, 1.0, 0.01)   # 13 planes: uneven shard
-    cfg = _cfg()
+    cfg = _cfg(mg_coarse=coarse)
 
     single = GridShardedProblem(mesh, cfg, devices=jax.devices()[:1])
     st1, ok1, ni1, ki1 = single.run(single.init_state(), 3)
@@ -46,7 +53,12 @@ def test_sharded_mg_matches_single_device_and_iteration_count():
 
     sharded = GridShardedProblem(mesh, cfg)
     assert sharded.n_devices == 8
-    assert sharded.grid_mg is not None and len(sharded.grid_mg.ops) >= 2
+    assert sharded.grid_mg is not None
+    if coarse == "smooth":
+        assert len(sharded.grid_mg.ops) >= 2
+        assert sharded.grid_mg.coarse_inv is None
+    else:
+        assert sharded.grid_mg.coarse_inv is not None
     st8, ok8, ni8, ki8 = sharded.run(sharded.init_state(), 3)
     assert ok8
     assert ni8 == ni1

@@ -151,6 +151,37 @@ def test_dg_stencil_matches_jvp(mesher, deg):
                                atol=1e-12)
 
 
+@pytest.mark.parametrize("mesher,deg", [
+    (lambda: box_mesh_2d(5, 4, 1.0, 0.5), 1),
+    (lambda: box_mesh_3d(4, 3, 2, 1.0, 1.0, 0.01), 1),
+])
+def test_dg_stencil_residual_diag_match_operator(mesher, deg):
+    """The gather-free DG residual/diag (DGStencilMatrix.residual /
+    jacobian_diag — one block-stencil matvec + a boundary-layer term)
+    must match HeatOperator's facet-gather assembly to machine
+    precision. This pair replaces the gather path in the outer Newton
+    loop of the DG step on TPU."""
+    from fem_glass_tempering_tpu.ops.stencil import DGStencilMatrix
+
+    mesh = mesher()
+    fs = FunctionSpace(mesh, "DG", deg)
+    p = ModelParams()
+    op = HeatOperator(fs, p, dt=0.1)
+    st = DGStencilMatrix(op)
+    rng = np.random.default_rng(7)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    r_op = op.residual(T, T_prev, 0.1)
+    r_st = st.residual(T, T_prev, 0.1)
+    scale = float(np.abs(np.asarray(r_op)).max())
+    np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_op),
+                               rtol=1e-9, atol=1e-12 * scale)
+    d_op = op.jacobian_diag(T, 0.1)
+    d_st = st.jacobian_diag(T, 0.1)
+    np.testing.assert_allclose(np.asarray(d_st), np.asarray(d_op),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_dg_stencil_solve_matches_matrix_free():
     """Coupled DG-1 3D plate run: the gather-free DG block stencil must
     reproduce the matrix-free Newton-CG solution (the reference's default
