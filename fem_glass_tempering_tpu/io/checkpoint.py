@@ -20,8 +20,9 @@ from fem_glass_tempering_tpu.models.viscoelastic import ViscoState
 
 def save_checkpoint(path: str, state: ViscoState, config=None, extra: dict | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    arrays = {f: np.asarray(getattr(state, f)) for f in ViscoState._fields}
-    meta = {"fields": list(ViscoState._fields)}
+    arrays = {f: np.asarray(getattr(state, f))
+              for f in ViscoState._fields if getattr(state, f) is not None}
+    meta = {"fields": list(arrays)}
     if config is not None:
         meta["config"] = json.loads(config.to_json())
     if extra:
@@ -35,6 +36,12 @@ def load_checkpoint(path: str, dtype=None):
         meta = json.loads(str(z["__meta__"]))
         kwargs = {}
         for f in ViscoState._fields:
+            if f not in z.files:
+                continue        # optional field absent (e.g. pre-du file)
             arr = z[f]
             kwargs[f] = jnp.asarray(arr, dtype=dtype) if dtype else jnp.asarray(arr)
+    if "du" not in kwargs and "sigma" in kwargs:
+        # checkpoints written before the warm-start field: cold-start du
+        s = kwargs["sigma"]
+        kwargs["du"] = jnp.zeros(s.shape[:-1], dtype=s.dtype)
     return ViscoState(**kwargs), meta

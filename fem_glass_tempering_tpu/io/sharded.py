@@ -104,6 +104,8 @@ def save_sharded_checkpoint(out_dir: str, state: ViscoState,
     shapes = {}
     for f in ViscoState._fields:
         arr = getattr(state, f)
+        if arr is None:
+            continue
         shapes[f] = list(np.shape(arr))
         if f == "t":
             if jax.process_index() == 0:
@@ -115,7 +117,7 @@ def save_sharded_checkpoint(out_dir: str, state: ViscoState,
             np.savez(os.path.join(out_dir, _piece_name(f, 0, off)),
                      data=np.asarray(s.data), offset=off)
     if jax.process_index() == 0:
-        meta = {"fields": list(ViscoState._fields), "shapes": shapes,
+        meta = {"fields": list(shapes), "shapes": shapes,
                 "extra": extra or {}}
         with open(os.path.join(out_dir, "meta.json"), "w") as fh:
             json.dump(meta, fh)
@@ -165,5 +167,6 @@ def load_sharded_checkpoint(out_dir: str, shardings, dtype=None):
         return jax.make_array_from_callback(shape, sharding, cb)
 
     kwargs = {f: load_field(f, getattr(shardings, f))
-              for f in ViscoState._fields}
+              for f in ViscoState._fields
+              if f in meta["shapes"] and getattr(shardings, f) is not None}
     return ViscoState(**kwargs), meta

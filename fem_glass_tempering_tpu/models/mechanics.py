@@ -94,9 +94,10 @@ class MechanicsCoupling:
 
         du, iters = self.elast.solve_increment(
             sigma_hist_q, eps0_q, G_eff, K_eff,
-            rtol=self.cg_rtol, max_it=self.cg_max_it)
+            rtol=self.cg_rtol, max_it=self.cg_max_it,
+            x0=getattr(state, "du", None))
         self.last_cg_iters = iters
-        return self.elast.strain_at_sigma_dofs(du)
+        return self.elast.strain_at_sigma_dofs(du), du
 
 
 class GridMechanicsCoupling:
@@ -140,7 +141,18 @@ class GridMechanicsCoupling:
                                     value_shape=(self.d, self.d))
                 return GridElasticityOperator(fsl, dtype=dtype)
 
-            self.mg = GridElastMG(self.el, make_level_op)
+            # frozen instantaneous moduli for the dense coarse solve
+            # (xi = 0: relax factor = 1 -> G = sum g_n, K = sum k_n).
+            # Only valid in trapezoid-xi mode: the reference-parity Taylor
+            # relax factor 1 - y/2 goes NEGATIVE for y > 2, flipping the
+            # operator's sign — a positive frozen coarse inverse then
+            # breaks CG outright (measured: 10 -> no convergence)
+            frozen = None
+            if engine.xi_formula == "trapezoid":
+                frozen = (float(np.sum(np.asarray(engine.g_n))),
+                          float(np.sum(np.asarray(engine.k_n))))
+            self.mg = GridElastMG(self.el, make_level_op,
+                                  frozen_moduli=frozen)
 
     def __call__(self, state, xi, scalar_th):
         el = self.el
@@ -184,10 +196,19 @@ class GridMechanicsCoupling:
         diag = el.jacobian_diag_g(G_eff, K_eff)
         precond = (self.mg.preconditioner_g(G_eff, K_eff)
                    if self.mg is not None else None)
-        res = self._pcg(mv, b, diag=diag, precond=precond,
+        # warm start from the previous step's displacement (state.du):
+        # the quasi-static solution drifts slowly between steps, and
+        # pcg's convergence test stays relative to ||b|| — same accuracy,
+        # far fewer iterations through the transient
+        du_prev = getattr(state, "du", None)
+        x0 = None
+        if du_prev is not None:
+            x0 = (du_prev if self.grid_shaped
+                  else du_prev.reshape(grid + (d,))).astype(b.dtype)
+        res = self._pcg(mv, b, x0=x0, diag=diag, precond=precond,
                         rtol=self.cg_rtol, max_it=self.cg_max_it)
         self.last_cg_iters = res.iters
         eps = el.strain_at_nodes(res.x)                   # (*grid, d, d)
         if self.grid_shaped:
-            return eps
-        return eps.reshape(-1, d, d)
+            return eps, res.x
+        return eps.reshape(-1, d, d), res.x.reshape(-1, d)

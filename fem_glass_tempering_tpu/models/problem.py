@@ -157,6 +157,21 @@ class ThermoViscoProblem:
         convection flux to selected boundary facets (insulated elsewhere) —
         e.g. only the large faces of a plate.
         """
+        import os as _os
+        import sys as _sys
+        _timing = _os.environ.get("FGT_SETUP_TIMING") == "1"
+        _last = [_time.perf_counter()]
+
+        def _mark(label: str) -> None:
+            # FGT_SETUP_TIMING=1 prints per-phase setup wall times to
+            # stderr — the DG facet tables / mixed-precision twins can
+            # dominate setup through the remote-TPU tunnel (BENCH.md)
+            if _timing:
+                now = _time.perf_counter()
+                print(f"setup[{label}]: {now - _last[0]:.1f}s",
+                      file=_sys.stderr, flush=True)
+                _last[0] = now
+
         sc = self.config.solver
         bc_dofs = bc_val = None
         if dirichlet_bc:
@@ -169,6 +184,7 @@ class ThermoViscoProblem:
             quad_degree=self.config.fe.quad_degree,
             flux_marker=flux_marker, form=heat_form,
         )
+        _mark("heat_op_f64")
         # gather-free grid-native path (residual + diag + stencil values as
         # static slice ops — ops/grid.py) when the mesh/space qualify
         self._grid = None
@@ -181,6 +197,7 @@ class ThermoViscoProblem:
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
+        _mark("grid_native")
         self._mech = None
         if self.config.mechanics == "equilibrium":
             from fem_glass_tempering_tpu.models.mechanics import (
@@ -209,6 +226,7 @@ class ThermoViscoProblem:
                 self._mech = MechanicsCoupling(
                     self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
                     cg_rtol=mech_rtol, cg_max_it=mech_max_it)
+        _mark("mechanics")
         self._mg = None
         self._dg_mg = None
         # mixed precision replaces the f64 preconditioner with its f32
@@ -261,6 +279,7 @@ class ThermoViscoProblem:
         # f64 — the Krylov loop is the hot path, the f64 residual and the
         # incremental test keep Newton at reference accuracy, rtol 1e-12
         # per ThermoViscoProblem.py:336)
+        _mark("precond_f64")
         self._heat32 = self._grid32 = self._mg32 = self._dg_mg32 = None
         if self._mixed:
             f32 = jnp.float32
@@ -269,11 +288,13 @@ class ThermoViscoProblem:
                 bc_dofs=bc_dofs, bc_value=bc_val,
                 quad_degree=self.config.fe.quad_degree,
                 flux_marker=flux_marker, form=heat_form)
+            _mark("heat_op_f32_twin")
             if self._grid is not None:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
                 self._grid32 = GridHeatOperator(
                     self._heat32, use_pallas=self.config.use_pallas,
                     flux_marker=flux_marker)
+            _mark("grid32_twin")
             if sc.preconditioner == "mg":
                 if (self.mesh.structured is None or self.fs_T.degree != 1
                         or self.fs_T.family not in ("CG", "DG")):
@@ -305,6 +326,7 @@ class ThermoViscoProblem:
                                    "max_levels": sc.mg_max_levels,
                                    "coarse": sc.mg_coarse})
                     self._dg_mg32.freeze(T0, self.dt)
+                    _mark("dg_mg32_freeze")
                 else:
                     self._mg32 = GeometricMG(self.mesh, make_operator32,
                                              dtype=f32,
@@ -312,6 +334,7 @@ class ThermoViscoProblem:
                                              max_levels=sc.mg_max_levels,
                                              coarse=sc.mg_coarse)
                     self._mg32.freeze_omegas(T0, self.dt)
+                    _mark("mg32_freeze")
         # smoothed-aggregation AMG (solver/amg.py): the mesh-agnostic GAMG
         # stand-in for unstructured meshes; hierarchy frozen at (T_0, dt)
         self._amg = self._amg32 = None
@@ -328,8 +351,11 @@ class ThermoViscoProblem:
                 self._amg32 = SmoothedAggregationMG(
                     EllMatrix(self._heat32), T0v.astype(jnp.float32),
                     self.dt, dtype=jnp.float32)
+        _mark("amg")
         self.state = self.engine.init_state()
+        _mark("init_state")
         self._build_step()
+        _mark("build_step")
         if output_dir is not None:
             self.config = dataclasses.replace(
                 self.config,

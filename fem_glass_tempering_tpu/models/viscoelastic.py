@@ -110,6 +110,9 @@ class ViscoState(NamedTuple):
     s_partial: jnp.ndarray         # (n_S, 6, d, d) total deviatoric partials
     sigma_partial: jnp.ndarray     # (n_S, 6, d, d) total hydrostatic partials
     sigma: jnp.ndarray             # (n_S, d, d) total stress
+    # (n_S, d) displacement of the last equilibrium-mechanics solve;
+    # warm-starts the next step's elasticity CG (zeros when mechanics off)
+    du: jnp.ndarray | None = None
 
 
 class ViscoelasticEngine:
@@ -190,6 +193,7 @@ class ViscoelasticEngine:
             s_partial=f((nS, TABLEAU_SIZE, d, d)),
             sigma_partial=f((nS, TABLEAU_SIZE, d, d)),
             sigma=f((nS, d, d)),
+            du=f((nS, d)),
         )
 
     # ------------------------------------------------------------------
@@ -243,8 +247,9 @@ class ViscoelasticEngine:
         field at the sigma-space points — the default is the global
         CrossEval; the domain-decomposed path passes a device-local
         evaluator (parallel/domain.py). `mech(state, xi, scalar_th)` (see
-        models/mechanics.py) returns the mechanical strain eps(du) at the
-        sigma points; None reproduces the reference's no-equilibrium
+        models/mechanics.py) returns `(eps(du), du)` at the sigma points
+        — `du` is stored in the state and warm-starts the next step's
+        elasticity CG; None reproduces the reference's no-equilibrium
         semantics (total strain = -thermal strain).
         """
         p = self.params
@@ -289,6 +294,7 @@ class ViscoelasticEngine:
         dT_s = T_s - T_prev_s
         scalar_th = p.alpha_solid * dT_s + (p.alpha_liquid - p.alpha_solid) * dTf_s
         thermal_strain = scalar_th[..., None, None] * self.I           # eq. 9
+        du_new = state.du
         if mech is None:
             total_strain = -thermal_strain                             # eq. 28
         else:
@@ -297,7 +303,7 @@ class ViscoelasticEngine:
             dTf_T = jnp.zeros_like(T_new) if ref else Tf - state.Tf
             scalar_th_T = (p.alpha_solid * (T_new - state.T_prev)
                            + (p.alpha_liquid - p.alpha_solid) * dTf_T)
-            eps_mech = mech(state, xi, scalar_th_T)
+            eps_mech, du_new = mech(state, xi, scalar_th_T)
             total_strain = eps_mech - thermal_strain
         tr_tot = jnp.trace(total_strain, axis1=-2, axis2=-1)
         deviatoric_strain = total_strain - (
@@ -346,4 +352,5 @@ class ViscoelasticEngine:
             s_partial=s_partial,
             sigma_partial=sigma_partial,
             sigma=sigma,
+            du=du_new,
         )

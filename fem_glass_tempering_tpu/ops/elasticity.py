@@ -140,8 +140,10 @@ class ElasticityOperator:
 
     # ------------------------------------------------------------------
     def solve_increment(self, sigma_hist_q, eps0_q, G_eff_q, K_eff_q, *,
-                        rtol=1e-10, atol=0.0, max_it=2000):
-        """Solve the linear equilibrium for du. Returns (du (n, d), iters)."""
+                        rtol=1e-10, atol=0.0, max_it=2000, x0=None):
+        """Solve the linear equilibrium for du. Returns (du (n, d), iters).
+        `x0` warm-starts CG (e.g. the previous step's displacement); the
+        convergence test stays relative to ||b||."""
         zero = jnp.zeros((self.n, self.d), dtype=self.dtype)
         b = -self.residual(zero, sigma_hist_q, eps0_q, G_eff_q, K_eff_q)
 
@@ -151,8 +153,10 @@ class ElasticityOperator:
                                  G_eff_q, K_eff_q)
 
         diag = self.jacobian_diag(G_eff_q, K_eff_q)
-        res = pcg(matvec, b, diag=diag, rtol=rtol, atol=atol, max_it=max_it,
-                  dot=lambda a, c: jnp.vdot(a, c))
+        if x0 is not None:
+            x0 = x0.astype(b.dtype)
+        res = pcg(matvec, b, x0=x0, diag=diag, rtol=rtol, atol=atol,
+                  max_it=max_it, dot=lambda a, c: jnp.vdot(a, c))
         return res.x, res.iters
 
     # ------------------------------------------------------------------

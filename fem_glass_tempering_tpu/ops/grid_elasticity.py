@@ -87,6 +87,7 @@ class GridElasticityOperator:
             pc = [(0, self.pad0)] + [(0, 0)] * self.d
             mask = np.pad(mask, pc, constant_values=1.0)  # ghosts pinned
         self.pin_mask_g = f(mask)
+        self.np_pin_mask = mask           # numpy source (dense coarse solve)
 
         # host-side diag statistics for smoother bounds: per-cell constant
         # tables |grad phi|^2 and (d phi/d a)^2 summed over quadrature

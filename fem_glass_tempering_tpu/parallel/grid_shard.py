@@ -138,9 +138,15 @@ class GridShardedProblem:
             from fem_glass_tempering_tpu.models.mechanics import (
                 GridMechanicsCoupling,
             )
+            mech_rtol = min(config.solver.cg_rtol, 1e-8)
+            if self.dtype == jnp.float32:
+                # f32 CG residual norms bottom out near ~1e-6 relative;
+                # below that the extra iterations refine noise (same
+                # floor as the single-device driver, models/problem.py)
+                mech_rtol = max(mech_rtol, 2e-6)
             self.mech = GridMechanicsCoupling(
                 self.fs_sigma, self.engine, dtype=self.dtype,
-                cg_rtol=min(config.solver.cg_rtol, 1e-8),
+                cg_rtol=mech_rtol,
                 pad_axis0=pad, grid_shaped=True)
         self._build_shardings()
         self._build_step()
@@ -153,7 +159,7 @@ class GridShardedProblem:
         base = self.grid_op.st.grid       # unpadded node grid
 
         def f(name, a):
-            if name == "t":
+            if name == "t" or a is None:
                 return a
             g = a.reshape(base + a.shape[1:])
             if self.pad0:
@@ -165,7 +171,7 @@ class GridShardedProblem:
 
     def _to_flat(self, state: ViscoState) -> ViscoState:
         def f(name, a):
-            if name == "t":
+            if name == "t" or a is None:
                 return a
             if self.pad0:
                 a = a[: a.shape[0] - self.pad0]

@@ -245,7 +245,10 @@ class GridElastMG:
 
     def __init__(self, fine, make_level_op, *, nu_pre: int = 2,
                  nu_post: int = 2, coarse_iters: int = 24,
-                 min_level_nodes: int = 27):
+                 min_level_nodes: int = 27, coarse: str = "auto",
+                 frozen_moduli: tuple | None = None):
+        if coarse not in ("auto", "smooth"):
+            raise ValueError(coarse)
         mesh = fine.fs.mesh
         meta = mesh.structured
         dims = tuple(meta["dims"])
@@ -256,8 +259,19 @@ class GridElastMG:
         self.phys0 = fine.base_grid[0]
         self.ops = [fine]
         self.axes: list[tuple | None] = []
+        # 'auto': stop coarsening at the first level whose COMPONENT count
+        # (nodes x d) fits the frozen dense direct solve, same rule as
+        # GridMG/GeometricMG — the approximate deep coarse solve is the
+        # weak link of the cycle, and for traction-free elasticity it is
+        # what damps the near-singular rigid-rotation modes (measured:
+        # residual plateau over ~20 MG-CG iterations without it)
+        dense_stop = 4096 if (coarse == "auto"
+                              and frozen_moduli is not None) else 0
         while True:
             cdims = _next_dims(dims, lengths)
+            if dense_stop and fine.d * int(np.prod(
+                    tuple(n + 1 for n in dims))) <= dense_stop:
+                cdims = None
             if cdims is None or int(np.prod(
                     tuple(n + 1 for n in cdims))) < min_level_nodes:
                 self.axes.append(None)
@@ -266,6 +280,11 @@ class GridElastMG:
                                    if cdims[a] != dims[a]))
             dims = cdims
             self.ops.append(make_level_op(_build_level_mesh(meta, dims)))
+        self._dense_coarse = bool(
+            dense_stop and fine.d * int(np.prod(
+                tuple(n + 1 for n in dims))) <= dense_stop
+            and self.ops[-1].pad0 == 0)
+        self._frozen_moduli = frozen_moduli
         # constant element tables per level (uniform cells):
         # A[(l,a),(m,b)] = G*EG + K*EK with
         #   EG = sum_q w [d_ab grad(phi_l).grad(phi_m) + d_b phi_l d_a phi_m
@@ -273,6 +292,7 @@ class GridElastMG:
         #   EK = sum_q w d_a phi_l d_b phi_m
         self._tables = []       # Gershgorin row stats (SG, SK, DG, DK)
         self._EGK = []          # full (l,a,m,b) element tensors
+        self._np_EGK = []       # numpy sources (dense coarse assembly)
         self._smoothers = []    # 'column' | 'point' per level
         self._col_axis = []
         for op in self.ops:
@@ -291,6 +311,7 @@ class GridElastMG:
             f = lambda a: jnp.asarray(a, dtype=op.dtype)
             self._tables.append((f(SG), f(SK), f(DG), f(DK)))
             self._EGK.append((f(EG), f(EK)))
+            self._np_EGK.append((EG, EK))
             # line smoothing along the strongly coupled (small-h) axis:
             # point smoothers cannot damp the through-thickness modes of a
             # thin tempering plate (measured: 386+ MG-CG iterations with
@@ -305,6 +326,50 @@ class GridElastMG:
             else:
                 self._smoothers.append("point")
                 self._col_axis.append(None)
+        # frozen dense inverse of the coarsest level at the instantaneous
+        # moduli (xi = 0): relaxation scales G/K nearly uniformly and CG
+        # is invariant to preconditioner scaling, so the frozen ratio
+        # stays effective across the transient; host-assembled (numpy),
+        # applied as ONE dense matvec on the MXU (same pattern as
+        # GridMG.coarse_inv)
+        self.coarse_inv = None
+        if self._dense_coarse:
+            G0, K0 = self._frozen_moduli
+            A = self._np_dense_coarse(float(G0), float(K0))
+            self.coarse_inv = jnp.asarray(
+                np.linalg.inv(A), dtype=self.ops[-1].dtype)
+
+    # ------------------------------------------------------------------
+    def _np_dense_coarse(self, G0: float, K0: float) -> np.ndarray:
+        """Host-assembled dense matrix of the coarsest-level elasticity
+        operator with constant moduli, pinned components as identity
+        rows/columns (matches the operator's pin semantics)."""
+        op = self.ops[-1]
+        EG, EK = self._np_EGK[-1]
+        E = G0 * EG + K0 * EK                 # (l, a, m, b)
+        base = op.base_grid
+        d = op.d
+        nn = int(np.prod(base))
+        A = np.zeros((nn * d, nn * d))
+        dims = op.dims
+        cells = np.stack(np.meshgrid(
+            *[np.arange(n) for n in dims], indexing="ij"),
+            axis=-1).reshape(-1, len(dims))   # (C, ndim)
+        strides = np.array([int(np.prod(base[i + 1:]))
+                            for i in range(len(base))])
+        node = {l: (cells + np.array(op.loffs[l])) @ strides
+                for l in range(op.nloc)}
+        for l in range(op.nloc):
+            for m in range(op.nloc):
+                for a in range(d):
+                    for b in range(d):
+                        np.add.at(A, (node[l] * d + a, node[m] * d + b),
+                                  E[l, a, m, b])
+        pin = op.np_pin_mask.reshape(-1) > 0
+        A[pin, :] = 0.0
+        A[:, pin] = 0.0
+        A[pin, pin] = 1.0
+        return A
 
     # ---- transfers (vector trailing dim) ------------------------------
     def _restrict(self, i, rg):
@@ -495,12 +560,18 @@ class GridElastMG:
         ((*dims, q), fine level). Returns r (*grid, d) -> approx A^{-1} r."""
         matvecs, diags, rhos, zsolves = [], [], [], []
         Gq, Kq = G_q, K_q
+        n_levels = len(self.ops)
         for i, op in enumerate(self.ops):
             mv = op.make_matvec_g(Gq, Kq)
             matvecs.append(mv)
             Gcell = jnp.mean(Gq, axis=-1)
             Kcell = jnp.mean(Kq, axis=-1)
-            if self._smoothers[i] == "column":
+            if i == n_levels - 1 and self.coarse_inv is not None:
+                # dense direct coarse solve: no smoother factors needed
+                zsolves.append(None)
+                diags.append(None)
+                rhos.append(None)
+            elif self._smoothers[i] == "column":
                 Dg, Ug = self._column_blocks(i, Gcell, Kcell)
                 zs = self._column_solver(i, Dg, Ug)
                 zsolves.append(zs)
@@ -545,9 +616,15 @@ class GridElastMG:
                 rho_k = rho_next
             return x
 
+        def coarse_solve(i, b):
+            inv = self.coarse_inv
+            if inv is None:
+                return smooth(i, jnp.zeros_like(b), b, self.coarse_iters)
+            return (inv @ b.reshape(-1)).reshape(b.shape)
+
         def cycle(i, b):
             if self.axes[i] is None:
-                return smooth(i, jnp.zeros_like(b), b, self.coarse_iters)
+                return coarse_solve(i, b)
             x = smooth(i, jnp.zeros_like(b), b, self.nu_pre)
             r = b - matvecs[i](x)
             xc = cycle(i + 1, self._restrict(i, r))

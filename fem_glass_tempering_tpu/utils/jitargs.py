@@ -76,7 +76,7 @@ class TableBundle:
         elif name == "GridElastMG":
             for lop in op.ops:
                 self.register_operator(lop)
-            self.register(op, ("_tables",))
+            self.register(op, ("_tables", "coarse_inv"))
         elif name == "GridMG":
             self.register(op, ("coarse_inv",))
             for lop in op.ops:

@@ -142,3 +142,70 @@ def test_grid_elasticity_padded_ghosts_are_identity():
                                rtol=1e-13, atol=1e-14)
     # ghost planes: identity rows
     np.testing.assert_array_equal(np.asarray(out3[-3:]), vp[-3:])
+
+
+def test_elast_mg_dense_coarse_cuts_iterations():
+    """The frozen dense coarse solve (GridElastMG.coarse_inv) is the
+    difference between a limping and a converging elasticity V-cycle on
+    the traction-free plate: the 6-point-pinned rigid-rotation modes are
+    near-singular and only an exact coarse solve damps them (measured
+    32x32x8: 92 -> 10 MG-CG iterations at rtol 2e-6)."""
+    import jax
+    import numpy as np
+    from fem_glass_tempering_tpu.config import ModelParams
+    from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.models.mechanics import GridMechanicsCoupling
+    from fem_glass_tempering_tpu.models.viscoelastic import ViscoelasticEngine
+    from fem_glass_tempering_tpu.ops.grid_elasticity import (
+        GridElasticityOperator,
+    )
+    from fem_glass_tempering_tpu.solver.grid_mg import GridElastMG
+    from fem_glass_tempering_tpu.solver.krylov import pcg
+
+    mesh = box_mesh_3d(16, 16, 6, 1.0, 1.0, 0.01)
+    fs_T = FunctionSpace(mesh, "CG", 1)
+    fs_S = FunctionSpace(mesh, "CG", 1, value_shape=(3, 3))
+    eng = ViscoelasticEngine(fs_T, fs_S, ModelParams(), 0.1,
+                             dtype=jnp.float64, physics_mode="corrected",
+                             xi_formula="trapezoid")
+    mech = GridMechanicsCoupling(fs_S, eng, dtype=jnp.float64)
+    el = mech.el
+    assert mech.mg.coarse_inv is not None      # trapezoid mode -> dense
+
+    n = fs_T.n_scalar_dofs
+    rng = np.random.default_rng(0)
+    xi_g = jnp.asarray(0.05 * (1 + 0.2 * rng.random(n))).reshape(el.grid)
+    th_g = jnp.asarray(-5e-5 * np.linspace(0.5, 1.5, n)).reshape(el.grid)
+    xi_q = el.cell_avg_from_nodes(xi_g)
+    th_q = el.cell_avg_from_nodes(th_g)
+    eps0_q = th_q[..., None, None] * mech.I
+    G = jnp.sum(eng.g_n * eng._relax_factor(
+        xi_q[..., None] / eng.lambda_g_n), -1)
+    K = jnp.sum(eng.k_n * eng._relax_factor(
+        xi_q[..., None] / eng.lambda_k_n), -1)
+    sig_q = jnp.zeros(xi_q.shape + (3, 3))
+    zero = jnp.zeros(el.grid + (3,))
+    b = -el.residual_g(zero, sig_q, eps0_q, G, K)
+    mv = el.make_matvec_g(G, K)
+    diag = el.jacobian_diag_g(G, K)
+
+    def make_level_op(level_mesh):
+        fsl = FunctionSpace(level_mesh, "CG", 1, value_shape=(3, 3))
+        return GridElasticityOperator(fsl, dtype=jnp.float64)
+
+    mg_smooth = GridElastMG(el, make_level_op, frozen_moduli=None)
+    assert mg_smooth.coarse_inv is None
+
+    def solve(mg):
+        pre = mg.preconditioner_g(G, K)
+        return pcg(mv, b, diag=diag, precond=pre, rtol=1e-10, max_it=3000)
+
+    res_dense = jax.jit(lambda: solve(mech.mg))()
+    res_smooth = jax.jit(lambda: solve(mg_smooth))()
+    assert bool(res_dense.converged) and bool(res_smooth.converged)
+    assert int(res_dense.iters) * 3 <= int(res_smooth.iters), (
+        int(res_dense.iters), int(res_smooth.iters))
+    np.testing.assert_allclose(np.asarray(res_dense.x),
+                               np.asarray(res_smooth.x),
+                               rtol=0.0, atol=1e-8)

@@ -174,3 +174,44 @@ def test_residual_stress_inversion_full_temper():
     np.testing.assert_allclose(pc, pc[::-1], atol=0.1 * np.abs(pc).max())
     mem = abs(np.trapezoid(pc, z[o]) / (z[o][-1] - z[o][0]))
     assert mem < 0.1 * np.abs(pc).max()
+
+
+def test_mechanics_warm_start_cuts_iterations_and_matches():
+    """state.du warm-starts the equilibrium CG: a repeat solve from the
+    previous displacement converges in far fewer iterations and to the
+    same solution (pcg tolerance stays relative to ||b||)."""
+    from fem_glass_tempering_tpu.models.mechanics import GridMechanicsCoupling
+    from fem_glass_tempering_tpu.models.viscoelastic import ViscoelasticEngine
+
+    mesh = box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    fs_T = FunctionSpace(mesh, "CG", 1)
+    fs_S = FunctionSpace(mesh, "CG", 1, value_shape=(3, 3))
+    eng = ViscoelasticEngine(fs_T, fs_S, ModelParams(), 0.1,
+                             dtype=jnp.float64)
+    mech = GridMechanicsCoupling(fs_S, eng, dtype=jnp.float64,
+                                 cg_rtol=1e-10, cg_max_it=2000)
+    n = fs_T.n_scalar_dofs
+    state = eng.init_state()
+    rng = np.random.default_rng(3)
+    xi = jnp.asarray(0.05 + 0.01 * rng.random(n))
+    th = jnp.asarray(-5e-5 * (1.0 + 0.3 * rng.random(n)))
+
+    eps_cold, du = mech(state, xi, th)
+    iters_cold = int(mech.last_cg_iters)
+
+    # next step: slightly drifted fields, previous du in the state
+    xi2 = xi * 1.02
+    th2 = th * 1.01
+    eps_ref, _ = mech(state, xi2, th2)          # cold solve of step 2
+    ref_iters = int(mech.last_cg_iters)
+    state_warm = state._replace(du=du)
+    eps_warm, du2 = mech(state_warm, xi2, th2)
+    iters_warm = int(mech.last_cg_iters)
+
+    # MG-CG converges at a roughly constant rate, so the saving is the
+    # log of the initial-residual cut — modest here, larger the closer
+    # the transient is to equilibrium
+    assert iters_warm < ref_iters, (iters_warm, ref_iters)
+    np.testing.assert_allclose(np.asarray(eps_warm), np.asarray(eps_ref),
+                               rtol=0.0, atol=1e-12)
+    assert du2.shape == (n, 3)
