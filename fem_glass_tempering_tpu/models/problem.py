@@ -191,9 +191,12 @@ class ThermoViscoProblem:
         if getattr(sc, "grid_native", "auto") != "off":
             from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
             try:
+                # lazy_tables: every single-device consumer rides the
+                # constant-row form when available, so the (n_off, *grid)
+                # device tables never materialize (ops/grid.py)
                 self._grid = GridHeatOperator(
                     self.heat, use_pallas=self.config.use_pallas,
-                    flux_marker=flux_marker)
+                    flux_marker=flux_marker, lazy_tables=True)
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
@@ -293,7 +296,7 @@ class ThermoViscoProblem:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
                 self._grid32 = GridHeatOperator(
                     self._heat32, use_pallas=self.config.use_pallas,
-                    flux_marker=flux_marker)
+                    flux_marker=flux_marker, lazy_tables=True)
             _mark("grid32_twin")
             if sc.preconditioner == "mg":
                 if (self.mesh.structured is None or self.fs_T.degree != 1

@@ -51,7 +51,8 @@ class GridHeatOperator:
     with the default whole-boundary flux (no flux_marker, no MMS source)."""
 
     def __init__(self, op: HeatOperator, pad_axis0: int = 0,
-                 use_pallas: bool = False, flux_marker=None):
+                 use_pallas: bool = False, flux_marker=None,
+                 lazy_tables: bool = False, allow_const: bool = True):
         """`pad_axis0` appends that many ghost node planes along grid axis
         0, wired as identity rows (residual T - T_0, unit diagonal,
         identity matvec) — used by the GSPMD path to make the sharded axis
@@ -76,7 +77,7 @@ class GridHeatOperator:
         # hand-tiled Pallas matvec for the CG loop (TPU, f32, d>=2);
         # the XLA pad+slice path is the portable fallback
         self.use_pallas = bool(use_pallas)
-        self.st = StencilMatrix(op)
+        self.st = StencilMatrix(op, make_tables=False)
         self.pad0 = int(pad_axis0)
         self.grid = ((self.st.grid[0] + self.pad0,) + self.st.grid[1:]
                      if self.pad0 else self.st.grid)
@@ -155,14 +156,6 @@ class GridHeatOperator:
                     if float(np.abs(fc.np_phi[:, l]).max()) > 1e-14]
             self._face_cols.append(cols)
 
-        # stencil value tables (padded with zero coupling on ghost planes)
-        if self.pad0:
-            pc = [(0, 0), (0, self.pad0)] + [(0, 0)] * (self.d - 1)
-            self.vals_mass = jnp.pad(self.st.st_mass, pc)
-            self.vals_stiff = jnp.pad(self.st.st_stiff, pc)
-        else:
-            self.vals_mass = self.st.st_mass
-            self.vals_stiff = self.st.st_stiff
         self._offsets = self.st.offsets
 
         # mass row sums M @ 1 (for the constant-source term) — computed in
@@ -204,6 +197,74 @@ class GridHeatOperator:
         self.bc_values_g = vals_g
         self.has_bc = op.has_bc or self.pad0 > 0
 
+        # ---- constant-row decomposition (uniform-box fast form) --------
+        # On a uniform box the assembled stencil tables are x-translation-
+        # invariant on every interior x-plane (a node at row 1..gx-2 sees
+        # the same cell neighborhood regardless of row), so the
+        # (n_off, *grid) tables collapse to ONE (n_off, M) minor-axis row
+        # plus deltas on the two x-boundary planes. The Jacobian matvec
+        # then streams only x and y — the materialized 27-value table
+        # (115 MB at 1M dofs, the dominant HBM traffic of the CG loop and
+        # every V-cycle level, BENCH.md) never exists — and the
+        # T-dependent boundary-flux linearization is applied as
+        # face-local terms instead of being scattered into a table.
+        self.const_ok = False
+        self.crow_mass = self.crow_stiff = None
+        self.crow_dmass = self.crow_dstiff = None
+        if (allow_const and self.pad0 == 0 and self.d >= 2
+                and self.st.grid[0] >= 4):
+            gx = self.st.grid[0]
+            M = self.n // gx
+            vm2 = self.st.np_mass.reshape(self.st.n_off, gx, M)
+            vs2 = self.st.np_stiff.reshape(self.st.n_off, gx, M)
+            ok = True
+            for v2 in (vm2, vs2):
+                ref = v2[:, 1:2, :]
+                dev = float(np.abs(v2[:, 1:gx - 1, :] - ref).max())
+                if dev > 1e-12 * max(float(np.abs(ref).max()), 1e-300):
+                    ok = False
+                    break
+            if ok:
+                g = lambda a: jnp.asarray(a, dtype=self.dtype)
+                self.crow_mass = g(vm2[:, 1, :])
+                self.crow_stiff = g(vs2[:, 1, :])
+                # the two x-boundary planes carry their FULL row values
+                # (the conv result there is overwritten, not corrected):
+                # every accumulated term then multiplies the identical
+                # value/neighbor pair in the identical offset order as the
+                # table path — the decomposition is BITWISE-equal to
+                # matvec_vals/matvec_diff, which the padded-vs-unpadded
+                # and sharded-vs-single-device identities rely on
+                self.crow_dmass = g(np.stack(
+                    [vm2[:, 0], vm2[:, -1]], axis=1))
+                self.crow_dstiff = g(np.stack(
+                    [vs2[:, 0], vs2[:, -1]], axis=1))
+                # per-face (q, lc, lc) basis products for the linearized
+                # flux blocks
+                self._face_phiphi = [
+                    g(np.einsum("ql,qm->qlm", fc.np_phi[:, cols],
+                                fc.np_phi[:, cols]))
+                    for fc, cols in zip(self.faces, self._face_cols)]
+                self.const_ok = True
+
+        # stencil value tables (padded with zero coupling on ghost planes).
+        # When the constant-row form covers every consumer (lazy_tables
+        # from the single-device driver / MG levels) the device tables are
+        # skipped entirely: 2 x 115 MB of HBM + setup upload at 1M dofs.
+        # The sharded paths (make_matvec_g / stencil_values_g /
+        # matvec_vals, parallel/grid_shard.py + solver/grid_mg.py) still
+        # need them and construct with the default lazy_tables=False.
+        self.vals_mass = self.vals_stiff = None
+        if not (self.const_ok and lazy_tables and not self.use_pallas):
+            self.st.ensure_tables()
+            if self.pad0:
+                pc = [(0, 0), (0, self.pad0)] + [(0, 0)] * (self.d - 1)
+                self.vals_mass = jnp.pad(self.st.st_mass, pc)
+                self.vals_stiff = jnp.pad(self.st.st_stiff, pc)
+            else:
+                self.vals_mass = self.st.st_mass
+                self.vals_stiff = self.st.st_stiff
+
     # ------------------------------------------------------------------
     def matvec_vals(self, vals: jnp.ndarray, xg: jnp.ndarray) -> jnp.ndarray:
         """Stencil matvec over the (possibly padded) node grid."""
@@ -233,6 +294,72 @@ class GridHeatOperator:
             limit = tuple(s + g for s, g in zip(start, self.grid))
             acc = acc + vals[o] * (jax.lax.slice(xp, start, limit) - xg)
         return acc
+
+    # ---- constant-row apply ------------------------------------------
+    def _crow_conv(self, rowvals, brow, xg, diff: bool = False):
+        """Grid-shaped conv from the constant-row decomposition: one flat
+        (gx, M) conv with the (n_off, M) interior row, then the two
+        x-boundary rows recomputed with their full row values (n_off,2,M)
+        and OVERWRITTEN — every accumulated term multiplies the identical
+        value/neighbor pair in the identical offset order as the table
+        path, so the result is bitwise-equal to matvec_vals/matvec_diff.
+        Wrapped flat reads are annihilated by assembled zeros in the row
+        tables exactly as in StencilMatrix.matvec_flat. `diff=True`
+        applies the difference form sum_o v_o (x_{i+o} - x_i) skipping
+        the center offset (zero-row-sum operators: annihilates constants
+        exactly in floating point, see matvec_diff)."""
+        gx = self.st.grid[0]
+        M = rowvals.shape[-1]
+        shifts = self.st._flat_shifts()
+        P = max(abs(s) for _, s in shifts)
+        center = (self.st.n_off - 1) // 2
+        x2 = xg.reshape(gx, M)
+        xp = jnp.pad(x2, ((1, 1), (P, P)))
+        acc = jnp.zeros((gx, M), dtype=x2.dtype)
+        for o, (dx, sft) in enumerate(shifts):
+            if diff and o == center:
+                continue
+            win = jax.lax.slice(xp, (dx, P + sft), (dx + gx, P + sft + M))
+            acc = acc + rowvals[o][None, :] * (win - x2 if diff else win)
+        for r_i, row in ((0, 0), (1, gx - 1)):
+            w = jnp.zeros((1, M), dtype=x2.dtype)
+            xr = jax.lax.slice(x2, (row, 0), (row + 1, M))
+            for o, (dx, sft) in enumerate(shifts):
+                if diff and o == center:
+                    continue
+                win = jax.lax.slice(
+                    xp, (row + dx, P + sft), (row + dx + 1, P + sft + M))
+                w = w + brow[o, r_i][None, :] * (win - xr if diff else win)
+            acc = jax.lax.dynamic_update_slice(acc, w, (row, 0))
+        return acc.reshape(self.grid)
+
+    def _flux_lin_tables(self, Tg, dt):
+        """Per-face (..., lc, lc) linearized-flux blocks at the frozen T:
+        W[..., l, m] = sum_q w_q phi_ql phi_qm, w = dflux/dT * dt * qw —
+        the face-local form of the boundary block stencil_values_g
+        scatters into the full table."""
+        p = self.params
+        out = []
+        for fc, cols, phiphi in zip(self.faces, self._face_cols,
+                                    self._face_phiphi):
+            phi = fc.phi[:, cols]
+            corners = self._face_corners(Tg, fc, cols)
+            Tb = jnp.einsum("...l,ql->...q", corners, phi)
+            w = (p.boundary_scale
+                 * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
+                 * (dt * fc.qw))                           # (..., q)
+            # multiply+reduce, not dot_general: the TPU runtime compiles
+            # chains of tiny batched contractions pathologically
+            out.append((w[..., :, None, None] * phiphi).sum(-3))
+        return out
+
+    def _apply_flux_lin(self, WW, xg, yg):
+        for fc, cols, W in zip(self.faces, self._face_cols, WW):
+            xc = self._face_corners(xg, fc, cols)          # (..., m)
+            contrib = (W * xc[..., None, :]).sum(-1)       # (..., l)
+            for j, l in enumerate(cols):
+                yg = yg.at[self._corner_slices(fc, l)].add(contrib[..., j])
+        return yg
 
     # ------------------------------------------------------------------
     def _corner_slices(self, face: _Face, l: int):
@@ -276,9 +403,18 @@ class GridHeatOperator:
         # the mass acts on the small per-step difference, and the
         # stiffness in difference form (see matvec_diff) so constants are
         # annihilated exactly — no ~800 K cancellation, no row-sum bias.
-        rg = (self.matvec_vals(self.vals_mass, Tg - Tpg)
-              + dt * self.matvec_diff(self.vals_stiff, Tg)
-              - dt * p.f * self.M1g)
+        # (The constant-row pair keeps the annihilation: at absent-
+        # neighbor slots crow + drow sums to exact fp zero.)
+        if self.const_ok:
+            rg = (self._crow_conv(self.crow_mass, self.crow_dmass,
+                                  Tg - Tpg)
+                  + dt * self._crow_conv(self.crow_stiff, self.crow_dstiff,
+                                         Tg, diff=True)
+                  - dt * p.f * self.M1g)
+        else:
+            rg = (self.matvec_vals(self.vals_mass, Tg - Tpg)
+                  + dt * self.matvec_diff(self.vals_stiff, Tg)
+                  - dt * p.f * self.M1g)
         for fc, cols in zip(self.faces, self._face_cols):
             phi = fc.phi[:, cols]                          # (q, lc)
             corners = self._face_corners(Tg, fc, cols)     # (..., lc)
@@ -300,7 +436,15 @@ class GridHeatOperator:
         p = self.params
         dt = self.op.dt if dt is None else dt
         center = (3 ** self.d - 1) // 2
-        d = (self.vals_mass[center] + dt * self.vals_stiff[center])
+        if self.const_ok:
+            gx = self.st.grid[0]
+            row = self.crow_mass[center] + dt * self.crow_stiff[center]
+            br = self.crow_dmass[center] + dt * self.crow_dstiff[center]
+            d2 = jnp.tile(row[None, :], (gx, 1))
+            d2 = jnp.concatenate([br[0:1], d2[1:gx - 1], br[1:2]], axis=0)
+            d = d2.reshape(self.grid)
+        else:
+            d = (self.vals_mass[center] + dt * self.vals_stiff[center])
         for fc, cols in zip(self.faces, self._face_cols):
             phi = fc.phi[:, cols]
             corners = self._face_corners(Tg, fc, cols)
@@ -324,6 +468,9 @@ class GridHeatOperator:
         """J(T) stencil values with the boundary linearization added by
         static-slice writes (no scatter)."""
         p = self.params
+        assert self.vals_mass is not None, \
+            "value tables skipped (lazy_tables) — construct with " \
+            "lazy_tables=False for table-based consumers"
         vals = self.vals_mass + dt * self.vals_stiff       # (n_off, *grid)
         for fc, cols in zip(self.faces, self._face_cols):
             phi = fc.phi[:, cols]
@@ -361,8 +508,23 @@ class GridHeatOperator:
 
     def make_matvec(self, T: jnp.ndarray, dt):
         assert self.pad0 == 0, "flat API unavailable on a padded grid"
-        vals = self.stencil_values(T, dt)
-        mv = self._mv_flat(vals)
+        use_pallas = (self.use_pallas and self.d >= 2
+                      and self.dtype == jnp.float32)
+        if self.const_ok and not use_pallas:
+            # constant-row form: no value table materializes; the flux
+            # linearization at the frozen T rides as face-local blocks
+            rowvals = self.crow_mass + dt * self.crow_stiff
+            drow = self.crow_dmass + dt * self.crow_dstiff
+            WW = self._flux_lin_tables(T.reshape(self.grid), dt)
+
+            def mv(v):
+                yg = self._crow_conv(rowvals, drow, v)
+                if WW:
+                    yg = self._apply_flux_lin(WW, v.reshape(self.grid), yg)
+                return yg.reshape(-1)
+        else:
+            vals = self.stencil_values(T, dt)
+            mv = self._mv_flat(vals)
         if self.has_bc:
             mask = self.bc_mask
             return lambda v: jnp.where(

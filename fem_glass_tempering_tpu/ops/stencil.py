@@ -23,7 +23,7 @@ from fem_glass_tempering_tpu.ops.heat import HeatOperator
 
 
 class StencilMatrix:
-    def __init__(self, op: HeatOperator):
+    def __init__(self, op: HeatOperator, make_tables: bool = True):
         fs = op.fs
         mesh = fs.mesh
         if mesh.structured is None or fs.family != "CG" or fs.degree != 1:
@@ -88,11 +88,14 @@ class StencilMatrix:
                 vals_stiff[(o,) + sl] += stiff1[l, m]
         vals_mass = vals_mass.reshape(-1)
         vals_stiff = vals_stiff.reshape(-1)
-        dtype = op.dtype
         self.np_mass = vals_mass.reshape((self.n_off,) + self.grid)
         self.np_stiff = vals_stiff.reshape((self.n_off,) + self.grid)
-        self.st_mass = jnp.asarray(self.np_mass, dtype=dtype)
-        self.st_stiff = jnp.asarray(self.np_stiff, dtype=dtype)
+        # device tables are optional: a GridHeatOperator whose constant-
+        # row form covers every consumer skips them entirely (at 1M dofs
+        # they are 2 x 115 MB of HBM + setup upload through the tunnel)
+        self.st_mass = self.st_stiff = None
+        if make_tables:
+            self.ensure_tables()
 
         # host-side Gershgorin row statistics (numpy, kept for smoother
         # spectrum bounds at setup — solver/multigrid.py freeze_omegas):
@@ -137,10 +140,18 @@ class StencilMatrix:
         self.n = n
         self.d = d
 
+    def ensure_tables(self) -> None:
+        """Materialize the (n_off, *grid) device tables (idempotent)."""
+        if self.st_mass is None:
+            self.st_mass = jnp.asarray(self.np_mass, dtype=self.op.dtype)
+            self.st_stiff = jnp.asarray(self.np_stiff, dtype=self.op.dtype)
+
     # ------------------------------------------------------------------
     def values_at(self, T: jnp.ndarray, dt) -> jnp.ndarray:
         op = self.op
         p = op.params
+        assert self.st_mass is not None, \
+            "device tables not materialized — call ensure_tables()"
         vals = self.st_mass + dt * self.st_stiff
         if self.b_st_idx is not None:
             Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])

@@ -91,7 +91,8 @@ class GridShardedProblem:
         # planes are identity rows (GSPMD cannot shard uneven dims)
         gx = mesh.structured["dims"][0] + 1
         pad = (-gx) % self.n_devices
-        self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad)
+        self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad,
+                                        allow_const=False)
         self.grid = self.grid_op.grid
         self.pad0 = pad
         # mixed precision (f64 Newton / f32 Krylov): f32 operator twins,
@@ -105,7 +106,8 @@ class GridShardedProblem:
                                   dtype=jnp.float32,
                                   form=getattr(config, "heat_form",
                                                "reference"))
-            self.grid_op32 = GridHeatOperator(heat32, pad_axis0=pad)
+            self.grid_op32 = GridHeatOperator(heat32, pad_axis0=pad,
+                                              allow_const=False)
         # geometric-MG preconditioner, grid-native so it shards with the
         # step (solver/grid_mg.py) — the GAMG-under-MPI transparency of
         # the reference (/root/reference/ThermoViscoProblem.py:339-346):

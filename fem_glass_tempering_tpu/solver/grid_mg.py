@@ -92,7 +92,11 @@ class GridMG:
                                    if cdims[a] != dims[a]))
             dims = cdims
             level_mesh = _build_level_mesh(meta, dims)
-            self.ops.append(GridHeatOperator(make_heat_operator(level_mesh)))
+            # allow_const=False: the level ops run INSIDE the sharded step
+            # (tables + static slices partition predictably under GSPMD);
+            # the constant-row form is the single-device fast path
+            self.ops.append(GridHeatOperator(make_heat_operator(level_mesh),
+                                             allow_const=False))
         self._frozen_rhos: list[float] | None = None
         # frozen dense inverse of the coarsest-level Jacobian at
         # (T_0, construction dt), host-assembled — one MXU matvec replaces

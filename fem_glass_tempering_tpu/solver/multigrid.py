@@ -314,7 +314,10 @@ class GeometricMG:
         if not hasattr(lvl, "_gridop"):
             try:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
-                lvl._gridop = GridHeatOperator(lvl.op)
+                # lazy_tables: level smoothing uses make_matvec /
+                # jacobian_diag only, both constant-row when available;
+                # the dense coarse solve reads the NUMPY tables (np_dense)
+                lvl._gridop = GridHeatOperator(lvl.op, lazy_tables=True)
                 lvl._stencil = lvl._gridop.st
             except Exception:
                 lvl._gridop = None

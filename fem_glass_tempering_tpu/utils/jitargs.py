@@ -64,6 +64,8 @@ class TableBundle:
             self.register_operator(op.op)
         elif name == "GridHeatOperator":
             self.register(op, ("vals_mass", "vals_stiff", "M1g",
+                               "crow_mass", "crow_stiff",
+                               "crow_dmass", "crow_dstiff",
                                "bc_mask", "bc_values", "bc_mask_g",
                                "bc_values_g"))
             self.register_operator(op.op)

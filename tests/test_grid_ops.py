@@ -85,6 +85,49 @@ def test_grid_operator_whole_face_flux_marker():
         GridHeatOperator(op, flux_marker=lambda m: m[:, 0] < 0.3)
 
 
+@pytest.mark.parametrize("mesher,marker", [
+    (lambda: box_mesh_3d(6, 4, 3, 1.0, 1.0, 0.01), False),
+    (lambda: box_mesh_3d(6, 4, 3, 1.0, 1.0, 0.01), True),
+    (lambda: box_mesh_2d(7, 5, 1.0, 0.5), False),
+])
+def test_constant_row_form_matches_table_form(mesher, marker):
+    """The constant-row decomposition (GridHeatOperator.const_ok — no
+    materialized value table) == the full (n_off, *grid) table path for
+    matvec, residual, and diagonal. The table path stays live for the
+    sharded V-cycle (solver/grid_mg.py), so the two forms must track."""
+    mesh = mesher()
+    fs = FunctionSpace(mesh, "CG", 1)
+    p = ModelParams()
+    zmark = None
+    if marker:
+        zmark = lambda m: (m[:, 2] < 1e-12) | (m[:, 2] > 0.01 - 1e-12)
+    op = HeatOperator(fs, p, 0.1, flux_marker=zmark)
+    g = GridHeatOperator(op, flux_marker=zmark)
+    assert g.const_ok
+    rng = np.random.default_rng(2)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    Tp = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    # table-path references (force const off)
+    vals = g.stencil_values(T, 0.1)
+    ref_mv = g._mv_flat(vals)(v)
+    const_mv = g.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(const_mv), np.asarray(ref_mv),
+                               rtol=1e-12, atol=1e-14)
+    gt = GridHeatOperator(op, flux_marker=zmark)
+    gt.const_ok = False
+    np.testing.assert_allclose(
+        np.asarray(g.residual(T, Tp, 0.1)),
+        np.asarray(gt.residual(T, Tp, 0.1)), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(g.jacobian_diag(T, 0.1)),
+        np.asarray(gt.jacobian_diag(T, 0.1)), rtol=1e-13)
+    # constant-field annihilation of the stiffness diff form is exact
+    c = jnp.full(fs.n_scalar_dofs, 811.0, dtype=g.dtype)
+    z = g._crow_conv(g.crow_stiff, g.crow_dstiff, c, diff=True)
+    assert float(jnp.abs(z).max()) == 0.0
+
+
 def test_grid_padded_identity_rows():
     """Ghost planes appended for GSPMD divisibility behave as identity
     rows and leave the physical dofs bit-consistent with the unpadded
