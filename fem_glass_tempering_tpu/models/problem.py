@@ -178,11 +178,20 @@ class ThermoViscoProblem:
             bc_dofs = self.fs_T.boundary_scalar_dofs()
             bc_val = self.params.T_ambient
         heat_form = getattr(self.config, "heat_form", "reference")
+        # when the gather-free DG block stencil (ops/stencil.py) will carry
+        # the whole outer loop, the SIPG facet tables are never read on
+        # device — skip their upload (several GB at 1M cells in f64
+        # through the remote-TPU tunnel); the matrix-free fallback in
+        # _build_step calls ensure_interior_tables()
+        dg_stencil = (self.fs_T.family == "DG"
+                      and self.mesh.structured is not None
+                      and sc.linear_operator == "stencil")
         self.heat = HeatOperator(
             self.fs_T, self.params, self.dt, dtype=self.dtype,
             bc_dofs=bc_dofs, bc_value=bc_val,
             quad_degree=self.config.fe.quad_degree,
             flux_marker=flux_marker, form=heat_form,
+            interior_device_tables=not dg_stencil,
         )
         _mark("heat_op_f64")
         # gather-free grid-native path (residual + diag + stencil values as
@@ -290,7 +299,8 @@ class ThermoViscoProblem:
                 self.fs_T, self.params, self.dt, dtype=f32,
                 bc_dofs=bc_dofs, bc_value=bc_val,
                 quad_degree=self.config.fe.quad_degree,
-                flux_marker=flux_marker, form=heat_form)
+                flux_marker=flux_marker, form=heat_form,
+                interior_device_tables=not dg_stencil)
             _mark("heat_op_f32_twin")
             if self._grid is not None:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
@@ -450,6 +460,11 @@ class ThermoViscoProblem:
         if (grid is None and ell is not None
                 and type(ell).__name__ == "DGStencilMatrix"):
             hres = ell
+        elif hres is heat and heat.is_dg:
+            # matrix-free / gather fallback: the traced SIPG residual
+            # reads the interior facet device tables — materialize them
+            # now (no-op unless setup skipped the upload)
+            heat.ensure_interior_tables()
 
         dg_mg = self._dg_mg
         amg = getattr(self, "_amg", None)
@@ -475,6 +490,8 @@ class ThermoViscoProblem:
         if (self._grid32 is None and ell32 is not None
                 and type(ell32).__name__ == "DGStencilMatrix"):
             hres32 = ell32
+        elif mixed and hres32 is heat32 and heat32 is not None and heat32.is_dg:
+            heat32.ensure_interior_tables()
         mg32, dg_mg32 = self._mg32, self._dg_mg32
         f32 = jnp.float32
         # the effective f32 CG tolerance: tighter than ~1e-6 is not

@@ -43,7 +43,8 @@ class HeatOperator:
                  dtype=jnp.float64, quad_degree: int | None = None,
                  bc_dofs: np.ndarray | None = None, bc_value: float | None = None,
                  source: np.ndarray | None = None,
-                 flux_marker=None, form: str = "reference"):
+                 flux_marker=None, form: str = "reference",
+                 interior_device_tables: bool = True):
         from fem_glass_tempering_tpu.models.thermal import ThermalModel
 
         self.fs = fs
@@ -131,15 +132,19 @@ class HeatOperator:
                 "dnphi_m": np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p),
                 "h_p": np.asarray(ig.h_p),
             }
-            self.i_dofmap_p = i32(self.np_i["dofmap_p"])
-            self.i_dofmap_m = i32(self.np_i["dofmap_m"])
-            self.i_qw = f32(self.np_i["qw"])
-            self.i_phi_p = f32(self.np_i["phi_p"])
-            self.i_phi_m = f32(self.np_i["phi_m"])
-            # normal derivative tables: grad(phi) . n+  -> (f, q, l)
-            self.i_dnphi_p = f32(self.np_i["dnphi_p"])
-            self.i_dnphi_m = f32(self.np_i["dnphi_m"])
-            self.i_h_p = f32(self.np_i["h_p"])            # (f,)
+            # device copies of the interior facet tables are the dominant
+            # setup upload for a large DG mesh (O(3*n_cells) facets x q x
+            # nloc, several GB at 1M cells in f64 through the remote-TPU
+            # tunnel). When the gather-free DG block stencil
+            # (ops/stencil.py DGStencilMatrix) carries the whole outer
+            # loop they are never read on device — the driver passes
+            # interior_device_tables=False and only np_i exists; the
+            # matrix-free fallback calls ensure_interior_tables().
+            self.i_dofmap_p = self.i_dofmap_m = None
+            self.i_qw = self.i_phi_p = self.i_phi_m = None
+            self.i_dnphi_p = self.i_dnphi_m = self.i_h_p = None
+            if interior_device_tables:
+                self.ensure_interior_tables()
 
         # Dirichlet lifting (working replacement for the reference's broken
         # path, SURVEY.md §Quirks 3)
@@ -155,6 +160,24 @@ class HeatOperator:
         self._const_diag = self._build_constant_diag()
 
     # ------------------------------------------------------------------
+    def ensure_interior_tables(self) -> None:
+        """Materialize the interior-facet device tables from the retained
+        numpy sources (idempotent). Must be called OUTSIDE jit, before the
+        first traced use of the SIPG residual."""
+        if not self.is_dg or self.i_qw is not None:
+            return
+        f32 = lambda a: jnp.asarray(a, dtype=self.dtype)
+        i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        self.i_dofmap_p = i32(self.np_i["dofmap_p"])
+        self.i_dofmap_m = i32(self.np_i["dofmap_m"])
+        self.i_qw = f32(self.np_i["qw"])
+        self.i_phi_p = f32(self.np_i["phi_p"])
+        self.i_phi_m = f32(self.np_i["phi_m"])
+        # normal derivative tables: grad(phi) . n+  -> (f, q, l)
+        self.i_dnphi_p = f32(self.np_i["dnphi_p"])
+        self.i_dnphi_m = f32(self.np_i["dnphi_m"])
+        self.i_h_p = f32(self.np_i["h_p"])                # (f,)
+
     def _scatter(self, vals_cell: jnp.ndarray, dofmap: jnp.ndarray) -> jnp.ndarray:
         return jax.ops.segment_sum(
             vals_cell.reshape(-1), dofmap.reshape(-1),

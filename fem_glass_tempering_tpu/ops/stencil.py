@@ -397,6 +397,47 @@ class DGStencilMatrix:
             self.Bp_cells = jnp.asarray(Bp_cells, dtype=op.dtype)
             self.Bm_cells = jnp.asarray(Bm_cells, dtype=op.dtype)
 
+        # ---- constant-block decomposition (uniform-box fast form) ------
+        # The DG analog of GridHeatOperator's constant-row form: on a
+        # uniform box every cell's self block is
+        #   A_c = m1 + dt*( s1 + sum_a [1(c_a<n_a-1) Jpp_a + 1(c_a>0) Jmm_a] )
+        # with Jpp_a/Jmm_a identical across all facets of axis a, so the
+        # (C, nloc, nloc) tables collapse to ONE (nloc, nloc) interior
+        # block plus per-axis corrections on the two boundary cell layers.
+        # The Jacobian matvec then streams only x and y (the self-block
+        # einsum's (C,64) table reads — the dominant HBM traffic of the
+        # DG CG loop — never happen), and the T-dependent boundary-flux
+        # linearization rides as facet-local blocks instead of a
+        # (C,nloc,nloc) per-Newton materialization.
+        self.self_const = False
+        self.A_mass = self.A_stiff = None
+        self.corr_pp = self.corr_mm = None
+        if qw.ndim == 1 and self.cross_const:
+            ok = True
+            Cpp, Cmm = [], []
+            for a in range(d):
+                sel = axis_of == a
+                if not sel.any():
+                    Cpp.append(np.zeros((nloc, nloc)))
+                    Cmm.append(np.zeros((nloc, nloc)))
+                    continue
+                jpp, jmm = Jpp[sel], Jmm[sel]
+                scale = max(np.abs(jpp).max(), 1e-30)
+                if (np.abs(jpp - jpp[0]).max() > 1e-10 * scale
+                        or np.abs(jmm - jmm[0]).max() > 1e-10 * scale):
+                    ok = False
+                    break
+                Cpp.append(jpp[0])
+                Cmm.append(jmm[0])
+            if ok:
+                base = s1 + sum(Cpp) + sum(Cmm)   # interior-cell stiffness
+                g = lambda arr: jnp.asarray(arr, dtype=op.dtype)
+                self.A_mass = g(m1)
+                self.A_stiff = g(base)
+                self.corr_pp = [g(c) for c in Cpp]
+                self.corr_mm = [g(c) for c in Cmm]
+                self.self_const = True
+
         # numpy copies retained for host-side setup (smoother freezing —
         # eager device ops at setup are tunnel round trips)
         self.np_self_mass = self_mass
@@ -411,8 +452,14 @@ class DGStencilMatrix:
         else:
             f1 = np.einsum("cq,ql->cl", qw, phi)
         self.f1 = jnp.asarray(f1, dtype=op.dtype)
-        self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
-        self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
+        # device tables are skipped when the constant-block form covers
+        # every consumer (values_at reconstructs them in-graph when a
+        # block/column smoother needs the full array): at 1M cells they
+        # are 2 x (C,8,8) = hundreds of MB of HBM + setup upload
+        self.self_mass = self.self_stiff = None
+        if not self.self_const:
+            self.self_mass = jnp.asarray(self_mass, dtype=op.dtype)
+            self.self_stiff = jnp.asarray(self_stiff, dtype=op.dtype)
         # boundary (exterior facet) cells for the per-Newton radiation blocks
         b_dofmap = op.np_b_dofmap
         self.b_cell = (jnp.asarray(b_dofmap[:, 0] // nloc, dtype=jnp.int32)
@@ -420,17 +467,68 @@ class DGStencilMatrix:
         self.n = fs.n_scalar_dofs
 
     # ------------------------------------------------------------------
-    def values_at(self, T: jnp.ndarray, dt) -> jnp.ndarray:
-        """Self blocks A_c(T) = mass + dt*(stiff+SIPG_self) + dt*B'(T)."""
+    # constant-block helpers (self_const fast form)
+    def _bflux_blocks(self, T: jnp.ndarray, dt) -> jnp.ndarray:
+        """Per-boundary-facet (f, nloc, nloc) linearized radiation +
+        convection blocks at the frozen T — the facet-local form of what
+        values_at scatters into the full (C, nloc, nloc) table."""
         op = self.op
         p = op.params
-        vals = self.self_mass + dt * self.self_stiff
+        Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
+        dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3
+                                    + p.htc)
+        return jnp.einsum("fq,fql,fqm->flm", op.b_qw * dt * dflux,
+                          op.b_phi, op.b_phi)
+
+    def _layer_corrections(self, dt):
+        """(axis, cell-layer, block) triples: subtract dt*Jpp_a on the
+        last layer of axis a (no +a facet) and dt*Jmm_a on the first
+        (no -a facet)."""
+        out = []
+        for a in range(self.d):
+            n_a = self.cell_dims[a]
+            out.append((a, n_a - 1, dt * self.corr_pp[a]))
+            out.append((a, 0, dt * self.corr_mm[a]))
+        return out
+
+    def _self_const_mv(self, A0: jnp.ndarray, cscale, xg: jnp.ndarray):
+        """y_c = A_c x_c from the constant-block decomposition: one
+        (C,nloc)@(nloc,nloc) matmul with the interior block A0, then the
+        2d boundary cell layers corrected by static slice updates.
+        `cscale` scales the stiffness-only corrections (dt for the
+        Jacobian, 1 for the residual's unscaled stiffness apply).
+        xg: (*cell_dims, nloc); returns the same shape."""
+        y = xg @ A0.T
+        for a, layer, Jc in self._layer_corrections(cscale):
+            seg = jax.lax.slice_in_dim(xg, layer, layer + 1, axis=a)
+            upd = (jax.lax.slice_in_dim(y, layer, layer + 1, axis=a)
+                   - seg @ Jc.T)
+            y = jax.lax.dynamic_update_slice_in_dim(y, upd, layer, axis=a)
+        return y
+
+    def values_at(self, T: jnp.ndarray, dt) -> jnp.ndarray:
+        """Self blocks A_c(T) = mass + dt*(stiff+SIPG_self) + dt*B'(T).
+        With the constant-block form the (C, nloc, nloc) array is
+        reconstructed in-graph (broadcast + layer slice updates) for
+        consumers that factorize per-cell blocks (DGMultigrid
+        block/column smoothers) — no static device table exists."""
+        op = self.op
+        p = op.params
+        nloc = self.nloc
+        if self.self_const:
+            A0 = self.A_mass + dt * self.A_stiff
+            vals = jnp.broadcast_to(
+                A0, self.cell_dims + (nloc, nloc)).astype(op.dtype)
+            for a, layer, Jc in self._layer_corrections(dt):
+                upd = (jax.lax.slice_in_dim(vals, layer, layer + 1, axis=a)
+                       - Jc)
+                vals = jax.lax.dynamic_update_slice_in_dim(
+                    vals, upd, layer, axis=a)
+            vals = vals.reshape(self.C, nloc, nloc)
+        else:
+            vals = self.self_mass + dt * self.self_stiff
         if self.b_cell is not None:
-            Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
-            dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
-            blocks = jnp.einsum("fq,fql,fqm->flm", op.b_qw * dt * dflux,
-                                op.b_phi, op.b_phi)
-            vals = vals.at[self.b_cell].add(blocks)
+            vals = vals.at[self.b_cell].add(self._bflux_blocks(T, dt))
         return vals
 
     def _shift(self, xg, axis, sign):
@@ -444,11 +542,10 @@ class DGStencilMatrix:
         xp = jnp.pad(xg, pad)
         return jax.lax.slice_in_dim(xp, 0, xp.shape[axis] - 1, axis=axis)
 
-    def matvec(self, vals_self: jnp.ndarray, dt, x: jnp.ndarray) -> jnp.ndarray:
+    def _cross_apply(self, y, xg, dt):
+        """Add the facet cross-block terms dt*(B+_a x_{c+e_a} + B-_a
+        x_{c-e_a}) to the grid-shaped y."""
         nloc = self.nloc
-        xg = x.reshape(self.cell_dims + (nloc,))
-        xc = x.reshape(self.C, nloc)
-        y = jnp.einsum("clm,cm->cl", vals_self, xc).reshape(xg.shape)
         for a in range(self.d):
             xp = self._shift(xg, a, +1)
             xm = self._shift(xg, a, -1)
@@ -461,15 +558,46 @@ class DGStencilMatrix:
                 y = y + dt * jnp.einsum(
                     "clm,cm->cl", self.Bm_cells[a],
                     xm.reshape(self.C, nloc)).reshape(xg.shape)
-        return y.reshape(-1)
+        return y
+
+    def matvec(self, vals_self: jnp.ndarray, dt, x: jnp.ndarray) -> jnp.ndarray:
+        nloc = self.nloc
+        xg = x.reshape(self.cell_dims + (nloc,))
+        xc = x.reshape(self.C, nloc)
+        y = jnp.einsum("clm,cm->cl", vals_self, xc).reshape(xg.shape)
+        return self._cross_apply(y, xg, dt).reshape(-1)
 
     def make_matvec(self, T: jnp.ndarray, dt):
-        vals = self.values_at(T, dt)
+        if self.self_const:
+            # constant-block form: no (C, nloc, nloc) table materializes;
+            # the boundary-flux linearization at the frozen T rides as
+            # facet-local blocks over the O(surface) boundary facets
+            A0 = self.A_mass + dt * self.A_stiff
+            blocks = (self._bflux_blocks(T, dt)
+                      if self.b_cell is not None else None)
+            nloc = self.nloc
+
+            def base_mv(v):
+                xg = v.reshape(self.cell_dims + (nloc,))
+                y = self._self_const_mv(A0, dt, xg)
+                y = self._cross_apply(y, xg, dt)
+                if blocks is not None:
+                    xb = v.reshape(self.C, nloc)[self.b_cell]
+                    # multiply+reduce, not dot_general (see DGMultigrid
+                    # _bmv: tiny batched contractions compile
+                    # pathologically on the TPU runtime)
+                    yb = (blocks * xb[:, None, :]).sum(-1)
+                    y = y.reshape(self.C, nloc).at[self.b_cell].add(yb)
+                return y.reshape(-1)
+            mv = base_mv
+        else:
+            vals = self.values_at(T, dt)
+            mv = lambda v: self.matvec(vals, dt, v)
         if self.op.has_bc:
             mask = self.op.bc_mask
             return lambda v: jnp.where(
-                mask, v, self.matvec(vals, dt, jnp.where(mask, 0.0, v)))
-        return lambda v: self.matvec(vals, dt, v)
+                mask, v, mv(jnp.where(mask, 0.0, v)))
+        return mv
 
     # ------------------------------------------------------------------
     # Gather-free residual / diag: the OUTER Newton loop's per-iteration
@@ -487,13 +615,23 @@ class DGStencilMatrix:
         Tpc = T_prev.reshape(self.C, nloc)
         # mass acts on the per-step DIFFERENCE (small vs ~800 K values —
         # the same f32/emulated-f64 health trick as ops/grid.py)
-        r = ((self.self_mass * (Tc - Tpc)[:, None, :]).sum(-1)
-             - (dt * p.f) * self.f1).reshape(-1)
+        if self.self_const:
+            r = (((Tc - Tpc) @ self.A_mass.T)
+                 - (dt * p.f) * self.f1).reshape(-1)
+        else:
+            r = ((self.self_mass * (Tc - Tpc)[:, None, :]).sum(-1)
+                 - (dt * p.f) * self.f1).reshape(-1)
         # (K + SIPG) annihilates constant fields exactly, so apply it to
         # T - mean(T): the ~800 K constant part would otherwise leave a
         # row-sum cancellation bias (the ops/grid.py difference-form
         # rationale, done here with one scalar shift)
-        r = r + dt * self.matvec(self.self_stiff, 1.0, T - jnp.mean(T))
+        if self.self_const:
+            zg = (T - jnp.mean(T)).reshape(self.cell_dims + (nloc,))
+            y = self._cross_apply(
+                self._self_const_mv(self.A_stiff, 1.0, zg), zg, 1.0)
+            r = r + dt * y.reshape(-1)
+        else:
+            r = r + dt * self.matvec(self.self_stiff, 1.0, T - jnp.mean(T))
         if self.b_cell is not None:
             Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
             gflux = p.boundary_scale * (
@@ -517,8 +655,24 @@ class DGStencilMatrix:
     def jacobian_diag(self, T: jnp.ndarray, dt=None) -> jnp.ndarray:
         op = self.op
         dt = op.dt if dt is None else dt
-        vals = self.values_at(T, dt)                     # (C, nloc, nloc)
-        d = jnp.einsum("cll->cl", vals).reshape(-1)
+        nloc = self.nloc
+        if self.self_const:
+            drow = jnp.diagonal(self.A_mass + dt * self.A_stiff)  # (nloc,)
+            dg = jnp.broadcast_to(
+                drow, self.cell_dims + (nloc,)).astype(op.dtype)
+            for a, layer, Jc in self._layer_corrections(dt):
+                upd = (jax.lax.slice_in_dim(dg, layer, layer + 1, axis=a)
+                       - jnp.diagonal(Jc))
+                dg = jax.lax.dynamic_update_slice_in_dim(
+                    dg, upd, layer, axis=a)
+            d = dg.reshape(self.C, nloc)
+            if self.b_cell is not None:
+                db = jnp.einsum("fll->fl", self._bflux_blocks(T, dt))
+                d = d.at[self.b_cell].add(db)
+            d = d.reshape(-1)
+        else:
+            vals = self.values_at(T, dt)                 # (C, nloc, nloc)
+            d = jnp.einsum("cll->cl", vals).reshape(-1)
         if op.has_bc:
             d = jnp.where(op.bc_mask, 1.0, d)
         return d

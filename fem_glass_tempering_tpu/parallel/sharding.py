@@ -76,6 +76,7 @@ def shard_heat_operator(op, mesh: Mesh) -> None:
     op.b_qw = _put_padded(op.b_qw, cell, nd, fill=0)
     op.b_phi = _put_padded(op.b_phi, cell, nd, fill=0)
     if op.is_dg:
+        op.ensure_interior_tables()   # no-op unless setup skipped them
         for name in ("i_dofmap_p", "i_dofmap_m"):
             setattr(op, name, _put_padded(getattr(op, name), cell, nd, fill=0))
         for name in ("i_qw", "i_phi_p", "i_phi_m", "i_dnphi_p", "i_dnphi_m"):

@@ -56,6 +56,7 @@ class TableBundle:
             self.register_operator(op.op)
         elif name == "DGStencilMatrix":
             self.register(op, ("self_mass", "self_stiff", "Bp", "Bm",
+                               "A_mass", "A_stiff", "corr_pp", "corr_mm",
                                "Bp_cells", "Bm_cells", "b_cell", "f1"))
             self.register_operator(op.op)
         elif name == "EllMatrix":
