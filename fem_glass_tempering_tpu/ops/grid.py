@@ -172,7 +172,6 @@ class GridHeatOperator:
                        for v, g in zip(off, self.grid))
             m1 += vm_np[o] * xp[sl]
         self.M1g = jnp.asarray(m1, dtype=op.dtype)
-        self.M1 = self.M1g.reshape(-1) if not self.pad0 else None
 
         # stencil-offset id for a (l, m) corner pair: StencilMatrix's
         # lexicographic delta+1 encoding
@@ -255,7 +254,9 @@ class GridHeatOperator:
         # matvec_vals, parallel/grid_shard.py + solver/grid_mg.py) still
         # need them and construct with the default lazy_tables=False.
         self.vals_mass = self.vals_stiff = None
-        if not (self.const_ok and lazy_tables and not self.use_pallas):
+        pallas_live = (self.use_pallas and self.d >= 2
+                       and self.dtype == jnp.float32)  # mirrors make_matvec
+        if not (self.const_ok and lazy_tables and not pallas_live):
             self.st.ensure_tables()
             if self.pad0:
                 pc = [(0, 0), (0, self.pad0)] + [(0, 0)] * (self.d - 1)
@@ -468,9 +469,10 @@ class GridHeatOperator:
         """J(T) stencil values with the boundary linearization added by
         static-slice writes (no scatter)."""
         p = self.params
-        assert self.vals_mass is not None, \
-            "value tables skipped (lazy_tables) — construct with " \
-            "lazy_tables=False for table-based consumers"
+        if self.vals_mass is None:
+            raise RuntimeError(
+                "value tables skipped (lazy_tables) — construct with "
+                "lazy_tables=False for table-based consumers")
         vals = self.vals_mass + dt * self.vals_stiff       # (n_off, *grid)
         for fc, cols in zip(self.faces, self._face_cols):
             phi = fc.phi[:, cols]

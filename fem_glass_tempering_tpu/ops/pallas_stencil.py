@@ -105,7 +105,7 @@ def stencil_matvec_pallas(vals: jnp.ndarray, x: jnp.ndarray,
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((n_off, BX, M), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],

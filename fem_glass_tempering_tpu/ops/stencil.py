@@ -150,8 +150,9 @@ class StencilMatrix:
     def values_at(self, T: jnp.ndarray, dt) -> jnp.ndarray:
         op = self.op
         p = op.params
-        assert self.st_mass is not None, \
-            "device tables not materialized — call ensure_tables()"
+        if self.st_mass is None:
+            raise RuntimeError(
+                "device tables not materialized — call ensure_tables()")
         vals = self.st_mass + dt * self.st_stiff
         if self.b_st_idx is not None:
             Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])

@@ -75,8 +75,10 @@ def shard_heat_operator(op, mesh: Mesh) -> None:
     op.b_dofmap = _put_padded(op.b_dofmap, cell, nd, fill=0)
     op.b_qw = _put_padded(op.b_qw, cell, nd, fill=0)
     op.b_phi = _put_padded(op.b_phi, cell, nd, fill=0)
-    if op.is_dg:
-        op.ensure_interior_tables()   # no-op unless setup skipped them
+    if op.is_dg and op.i_qw is not None:
+        # tables absent = the DG block stencil carries the outer loop and
+        # the step never reads them on device (ops/heat.py); don't force
+        # a multi-GB upload just to shard arrays nothing consumes
         for name in ("i_dofmap_p", "i_dofmap_m"):
             setattr(op, name, _put_padded(getattr(op, name), cell, nd, fill=0))
         for name in ("i_qw", "i_phi_p", "i_phi_m", "i_dnphi_p", "i_dnphi_m"):
@@ -98,6 +100,12 @@ def shard_problem(prob, mesh: Mesh) -> None:
     pointwise material chain stays replicated (dof-sized, negligible next to
     assembly); parallel/domain.py distributes it too."""
     assert prob.heat is not None, "call setup() first"
+    if (prob.heat.is_dg
+            and prob.config.solver.linear_operator != "stencil"):
+        # the matrix-free/assembled DG step reads the interior facet
+        # tables on device — materialize before sharding (no-op unless
+        # setup skipped the upload for the block-stencil path)
+        prob.heat.ensure_interior_tables()
     shard_heat_operator(prob.heat, mesh)
     prob.state = shard_state(prob.state, mesh)
     # re-trace so the new array placements are baked into the jitted step

@@ -225,13 +225,11 @@ def test_dg_constant_block_form_matches_table_form(mesher):
     T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
     Tp = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
     v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
-    # reconstructed values_at == the numpy-assembled static tables
+    # reconstructed values_at == the numpy-assembled static tables plus
+    # the boundary-flux blocks applied by the same formula
     vals_static = (jnp.asarray(g.np_self_mass, dtype=op.dtype)
                    + 0.1 * jnp.asarray(g.np_self_stiff, dtype=op.dtype))
     vals_recon = g.values_at(T, 0.1)
-    # strip the (identical) boundary-flux scatter by comparing at a
-    # second dt=0 flux-free operator? No: compare full against the
-    # table formula applied identically
     Tb = jnp.einsum("fql,fl->fq", op.b_phi, T[op.b_dofmap])
     dflux = p.boundary_scale * (4.0 * p.sigma * p.epsilon * Tb**3 + p.htc)
     blocks = jnp.einsum("fq,fql,fqm->flm", op.b_qw * 0.1 * dflux,
