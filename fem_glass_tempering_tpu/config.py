@@ -105,6 +105,12 @@ class SolverConfig:
     cg_max_it: int = 1000
     preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
     mg_smoother: str = "jacobi"     # 'jacobi' | 'chebyshev' (GAMG-style)
+    # pre/post smoothing sweeps per V-cycle level. Fine-level sweeps are
+    # the V-cycle's HBM traffic: each costs ~a stencil-matvec at 1M dofs,
+    # so V(1,1) is ~40% less traffic per MG-CG iteration than V(2,2) and
+    # wins wall-clock whenever the iteration count holds within ~1.6x.
+    mg_nu_pre: int = 2
+    mg_nu_post: int = 2
     # cap on the geometric-MG hierarchy depth (0 = coarsen to the floor).
     # The small tail levels are kernel-launch-bound on TPU; a shallower
     # hierarchy pairs with mg_coarse='dense' (solver/multigrid.py).

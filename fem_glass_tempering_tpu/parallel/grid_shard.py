@@ -127,6 +127,8 @@ class GridShardedProblem:
             self.grid_mg = GridMG(
                 mg_fine, make_heat_operator,
                 smoother=config.solver.mg_smoother,
+                nu_pre=getattr(config.solver, "mg_nu_pre", 2),
+                nu_post=getattr(config.solver, "mg_nu_post", 2),
                 # 'dense' (explicit cap) maps to 'auto' here: GridMG's
                 # dense coarse is always the auto stopping rule
                 coarse=("smooth" if getattr(config.solver, "mg_coarse",

@@ -30,12 +30,25 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
         diag: jnp.ndarray | None = None, rtol: float = 1e-12,
         atol: float = 0.0, max_it: int = 1000,
         dot: Callable | None = None,
-        precond: Callable | None = None) -> PCGResult:
+        precond: Callable | None = None,
+        replace_every: int = 0) -> PCGResult:
     """`dot` overrides the inner product — inside shard_map regions pass a
     psum-reduced dot so convergence tests are global (the PETSc/MPI
     reduction pattern, SURVEY.md §5 item 2). `precond` is a general SPD
     preconditioner apply r -> M^{-1} r (e.g. a multigrid V-cycle,
-    solver/multigrid.py) and takes precedence over `diag` (Jacobi)."""
+    solver/multigrid.py) and takes precedence over `diag` (Jacobi).
+
+    `replace_every` > 0 recomputes the TRUE residual b - A x every that
+    many iterations (van der Vorst-style residual replacement — the
+    search direction is NOT restarted: the replacement delta is tiny
+    relative to the current residual, so conjugacy and the beta recurrence
+    survive, while a p-restart degrades CG to restarted steepest descent,
+    measured 100x worse on a cond-1e3 system). In f32 the recurrence
+    residual drifts from the true residual on ill-conditioned systems
+    (measured on the 16x16x8 DG plate: recurrence 'converged' at 1e-6
+    with a true relative residual of 8e-5); periodic replacement bounds
+    the drift at the cost of one extra matvec per window. Healthy solves
+    that converge in fewer iterations never pay it."""
     if dot is None:
         dot = jnp.vdot
 
@@ -68,6 +81,10 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
+        if replace_every:
+            do = (k + 1) % replace_every == 0
+            r = jax.lax.cond(do, lambda _: b - matvec(x),
+                             lambda _: r, None)
         z = apply_M(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)

@@ -486,9 +486,24 @@ class DGMultigrid:
         if self.smoother in ("jacobi", "chebyshev"):
             return {"diag": self.dg_op.jacobian_diag(T_dg, dt)}
         vals_self = self.stencil.values_at(T_dg, dt)      # (C, nloc, nloc)
+        # factorize in f64, apply in the cycle dtype: the SIPG self
+        # blocks carry the penalty terms' huge dynamic range, and an f32
+        # block inverse/Thomas recurrence loses enough accuracy to gut
+        # the cycle (measured, 16x16x8 50:1 plate at a transient state:
+        # 257 -> 63 MG-CG iterations with f64 factors cast to f32).
+        # Factorization is once per Newton iteration, O(C nloc^3) — noise
+        # next to the CG iterations it saves, even under TPU f64
+        # emulation.
+        up = (self.dtype == jnp.float32 and jax.config.jax_enable_x64)
+        vals_f = vals_self.astype(jnp.float64) if up else vals_self
         if self.smoother == "block":
-            return {"inv_self": jnp.linalg.inv(vals_self)}
-        return self._column_factorize(vals_self, dt)
+            inv = jnp.linalg.inv(vals_f)
+            return {"inv_self": inv.astype(self.dtype) if up else inv}
+        data = self._column_factorize(vals_f, dt)
+        if up:
+            data = jax.tree_util.tree_map(
+                lambda a: a.astype(self.dtype), data)
+        return data
 
     def _column_factorize(self, vals_self, dt):
         st = self.stencil

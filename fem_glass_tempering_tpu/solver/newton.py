@@ -35,6 +35,7 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  precond_fn: Callable | None = None,
                  matvec_fn: Callable | None = None,
                  cg_cast=None,
+                 cg_replace_every: int | None = None,
                  noise_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
@@ -64,6 +65,13 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
     noise floor on TPU, BENCH.md)."""
     if dot is None:
         dot = jnp.vdot
+    if cg_replace_every is None:
+        # auto: in f32 the CG recurrence residual drifts from the true
+        # residual on ill-conditioned systems (see pcg docstring); a
+        # 50-iteration replacement window never triggers on healthy
+        # MG-preconditioned solves (~10-50 iters) and bounds the drift
+        # on the hard ones
+        cg_replace_every = 50 if cg_cast is not None else 0
 
     def norm(v):
         return jnp.sqrt(dot(v, v))
@@ -96,11 +104,13 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
             scale = jnp.where((Fn == 0) | at_floor, 1.0, Fn)
             b = (-F / scale).astype(cg_cast)
             lin = pcg(matvec, b, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                      max_it=cg_max_it, dot=dot, precond=precond)
+                      max_it=cg_max_it, dot=dot, precond=precond,
+                      replace_every=cg_replace_every)
             dx = lin.x.astype(x.dtype) * scale
         else:
             lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
-                      max_it=cg_max_it, dot=dot, precond=precond)
+                      max_it=cg_max_it, dot=dot, precond=precond,
+                      replace_every=cg_replace_every)
             dx = lin.x
         x_new = x + dx
         dxn = norm(dx)
