@@ -313,6 +313,8 @@ class ViscoelasticEngine:
         # ---- Prony stress updates (tableau axis n broadcast) ----
         y_g = xi_s[..., None] / self.lambda_g_n                       # (..., 6)
         y_k = xi_s[..., None] / self.lambda_k_n
+        texp_g = self._decay(y_g)[..., None, None]
+        texp_k = self._decay(y_k)[..., None, None]
         # eq. 15a+20, singularity-free exact form
         ds = (2.0 * self.g_n[:, None, None]
               * deviatoric_strain[..., None, :, :]
@@ -321,26 +323,15 @@ class ViscoelasticEngine:
         dsig = (self.k_n[:, None, None]
                 * (tr_tot[..., None, None] * self.I)[..., None, :, :]
                 * self._relax_factor(y_k)[..., None, None])
-        # eq. 16a/b: decay. Reference mode decays s_tilde — which is
-        # IDENTICALLY zero (quirk (b): s_tilde_0 = 0 and the reference
-        # never accumulates into it, test_viscoelastic.py pins this), so
-        # the decay is aliased through instead of streaming two
-        # (n_S, 6, d, d) zero tensors through a multiply every step
-        # (~432 MB of HBM traffic at 1M dofs; donation makes the alias
-        # free). Corrected mode decays the accumulated partial stress.
-        if ref:
-            s_tilde = state.s_tilde
-            sigma_tilde = state.sigma_tilde
-            s_partial = ds                                # eq. 17a (+0)
-            sigma_partial = dsig                          # eq. 17b (+0)
-        else:
-            texp_g = self._decay(y_g)[..., None, None]
-            texp_k = self._decay(y_k)[..., None, None]
-            s_tilde = state.s_partial * texp_g
-            sigma_tilde = state.sigma_partial * texp_k
-            # eq. 17a/b
-            s_partial = ds + s_tilde
-            sigma_partial = dsig + sigma_tilde
+        # eq. 16a/b: decay. reference mode decays s_tilde (which stays 0,
+        # quirk (b)); corrected mode decays the accumulated partial stress.
+        s_decay_src = state.s_tilde if ref else state.s_partial
+        sig_decay_src = state.sigma_tilde if ref else state.sigma_partial
+        s_tilde = s_decay_src * texp_g
+        sigma_tilde = sig_decay_src * texp_k
+        # eq. 17a/b
+        s_partial = ds + s_tilde
+        sigma_partial = dsig + sigma_tilde
         # eq. 18
         sigma = jnp.sum(s_partial + sigma_partial, axis=-3)
 
