@@ -102,8 +102,13 @@ class SolverConfig:
     newton_max_it: int = 50
     cg_rtol: float = 1e-12
     cg_atol: float = 0.0
-    cg_max_it: int = 1000
-    preconditioner: str = "jacobi"  # 'jacobi' | 'mg' | 'none'
+    cg_max_it: int = 10000       # PETSc's ksp_max_it default; the SIPG
+    # system on anisotropic plates needs >1000 Jacobi-CG iterations
+    # 'auto' (default) resolves at setup to the reference's always-GAMG
+    # semantics (/root/reference/ThermoViscoProblem.py:344): geometric MG /
+    # DG p-MG on structured box meshes with a degree-1 T space, smoothed-
+    # aggregation AMG everywhere else. Explicit values override.
+    preconditioner: str = "auto"  # 'auto' | 'jacobi' | 'mg' | 'amg' | 'none'
     mg_smoother: str = "jacobi"     # 'jacobi' | 'chebyshev' (GAMG-style)
     # pre/post smoothing sweeps per V-cycle level. Fine-level sweeps are
     # the V-cycle's HBM traffic: each costs ~a stencil-matvec at 1M dofs,

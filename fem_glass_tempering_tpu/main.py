@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nz", type=int, default=8)
     p.add_argument("--steps", type=int, help="override number of time steps")
     p.add_argument("--dt", type=float)
+    p.add_argument("--t-end", type=float, help="override end time")
     p.add_argument("--t-element", default=None, help="T element, e.g. DG1 / CG2")
     p.add_argument("--sigma-element", default=None)
     p.add_argument("--physics-mode", choices=("reference", "corrected"))
@@ -55,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-pallas", action="store_true",
                    help="hand-fused Pallas kernels (material chain + "
                         "CG-loop stencil matvec)")
-    p.add_argument("--preconditioner", choices=("jacobi", "mg", "amg", "none"),
-                   help="CG preconditioner: geometric MG / DG p-MG on box "
+    p.add_argument("--preconditioner",
+                   choices=("auto", "jacobi", "mg", "amg", "none"),
+                   help="CG preconditioner: 'auto' (default) picks the "
+                        "GAMG equivalent — geometric MG / DG p-MG on box "
                         "meshes, smoothed-aggregation AMG elsewhere")
     p.add_argument("--linear-operator",
                    choices=("matrix_free", "assembled", "stencil"))
@@ -113,6 +116,8 @@ def main(argv=None) -> int:
     tc = cfg.time
     if args.dt:
         tc = dataclasses.replace(tc, dt=args.dt)
+    if args.t_end is not None:
+        tc = dataclasses.replace(tc, t_end=args.t_end)
     if args.steps:
         tc = dataclasses.replace(tc, t_end=tc.t_start + args.steps * tc.dt)
     cfg = dataclasses.replace(cfg, time=tc)

@@ -173,6 +173,17 @@ class ThermoViscoProblem:
                 _last[0] = now
 
         sc = self.config.solver
+        if sc.preconditioner == "auto":
+            # the reference preconditions with GAMG unconditionally
+            # (/root/reference/ThermoViscoProblem.py:344); resolve to the
+            # strongest equivalent this mesh/space supports
+            if (self.mesh.structured is not None and self.fs_T.degree == 1
+                    and self.fs_T.family in ("CG", "DG")):
+                resolved = "mg"
+            else:
+                resolved = "amg"
+            sc = dataclasses.replace(sc, preconditioner=resolved)
+            self.config = dataclasses.replace(self.config, solver=sc)
         bc_dofs = bc_val = None
         if dirichlet_bc:
             bc_dofs = self.fs_T.boundary_scalar_dofs()

@@ -60,6 +60,12 @@ class GridShardedProblem:
             raise ValueError("GridShardedProblem needs a CG-1 sigma space")
         if mesh.structured is None:
             raise ValueError("GridShardedProblem needs a structured box mesh")
+        if config.solver.preconditioner == "auto":
+            # structured CG-1 is guaranteed here (checks above): 'auto'
+            # resolves to grid-native geometric MG, the GAMG equivalent
+            config = dataclasses.replace(
+                config, solver=dataclasses.replace(
+                    config.solver, preconditioner="mg"))
         self.config = config
         self.mesh = mesh
         self.dtype = (jnp.float64 if config.dtype == "float64"
