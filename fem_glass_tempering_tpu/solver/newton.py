@@ -36,6 +36,9 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  matvec_fn: Callable | None = None,
                  cg_cast=None,
                  cg_replace_every: int | None = None,
+                 cg_accept_rtol: float | None = None,
+                 cg_stall_window: int | None = None,
+                 mp_floor_inc_rtol: float | None = None,
                  noise_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
@@ -55,6 +58,31 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
     by the f32 CG tolerance, not by ||F||. matvec_fn/jac_diag_fn/
     precond_fn must then produce cg_cast-dtype operators.
 
+    `cg_accept_rtol` accepts a Newton increment whose inner solve missed
+    cg_rtol but still achieved a residual reduction ||r||/||b|| below this
+    threshold — standard inexact Newton (Eisenstat–Walker): ANY forcing
+    term eta < 1 contracts the outer iteration by ~eta per step. This is
+    what makes mixed precision live with operators whose f32 evaluation
+    noise floors the attainable linear residual ABOVE cg_rtol (the f32
+    SIPG matvec floors at ~8e-4 relative on anisotropic plates, measured
+    — strict rejection then starves Newton at the full cg_max_it cost per
+    iteration). Solves worse than the threshold are still rejected (the
+    garbage-dx protection below). None = auto: 0.1 under cg_cast, else
+    strict. `cg_stall_window` is pcg's stall exit (None = auto: 100 under
+    cg_cast, else off).
+
+    `mp_floor_inc_rtol` is the mixed-precision incremental floor: when the
+    inner solve STALLS outright (no meaningful residual reduction — the
+    remaining right-hand side lies in the cast-dtype operator's noise
+    subspace, e.g. f32 SIPG penalty cancellation, measured: CG reduction
+    0.999 after 100 V-cycles once ||F|| sinks to ~4e-5 of its initial
+    value) AND the returned increment is already below this fraction of
+    ||x||, the iterate is declared converged at the floor: no f32-Krylov
+    process can move it further, and iterating forever just burns
+    cg_max_it per Newton step. None = auto: 1e-6 (~16 eps32) under
+    cg_cast, else off. Distinct from `noise_fn`, which floors on the
+    RESIDUAL EVALUATION noise scale before solving.
+
     `noise_fn(x)` returns an absolute floor for ||F(x)|| below which the
     residual is indistinguishable from evaluation roundoff (e.g. the
     TPU-emulated-f64 noise of the stiffness/boundary terms). Once
@@ -72,6 +100,12 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
         # MG-preconditioned solves (~10-50 iters) and bounds the drift
         # on the hard ones
         cg_replace_every = 50 if cg_cast is not None else 0
+    if cg_accept_rtol is None:
+        cg_accept_rtol = 0.1 if cg_cast is not None else 0.0
+    if cg_stall_window is None:
+        cg_stall_window = 100 if cg_cast is not None else 0
+    if mp_floor_inc_rtol is None:
+        mp_floor_inc_rtol = 1e-6 if cg_cast is not None else 0.0
 
     def norm(v):
         return jnp.sqrt(dot(v, v))
@@ -105,13 +139,17 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
             b = (-F / scale).astype(cg_cast)
             lin = pcg(matvec, b, diag=diag, rtol=cg_rtol, atol=cg_atol,
                       max_it=cg_max_it, dot=dot, precond=precond,
-                      replace_every=cg_replace_every)
+                      replace_every=cg_replace_every,
+                      stall_window=cg_stall_window)
             dx = lin.x.astype(x.dtype) * scale
+            bn = norm(b)
         else:
             lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
                       max_it=cg_max_it, dot=dot, precond=precond,
-                      replace_every=cg_replace_every)
+                      replace_every=cg_replace_every,
+                      stall_window=cg_stall_window)
             dx = lin.x
+            bn = Fn
         x_new = x + dx
         dxn = norm(dx)
         # the incremental test alone can be fooled by a FAILED linear
@@ -121,7 +159,22 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
         # actually met its tolerance — failures then surface as
         # non-convergence and reach the dt-halving retry machinery
         # instead of silently corrupting the state.
-        conv = at_floor | ((dxn <= rtol * norm(x_new) + atol) & lin.converged)
+        solve_ok = lin.converged
+        if cg_accept_rtol:
+            # inexact-Newton acceptance: the achieved reduction is a valid
+            # forcing term; reductions worse than the threshold stay
+            # rejected (failed-solve protection above)
+            solve_ok = solve_ok | (lin.residual_norm <= cg_accept_rtol * bn)
+        xn_new = norm(x_new)
+        conv = at_floor | ((dxn <= rtol * xn_new + atol) & solve_ok)
+        if mp_floor_inc_rtol:
+            # mixed-precision floor: the solve went NOWHERE (residual
+            # reduction worse than 0.5 — the RHS is invisible to the cast
+            # operator) and the increment is sub-resolvable. A merely-hard
+            # early-transient solve never matches: its dx/||x|| is far
+            # above the floor threshold.
+            stalled = (~lin.converged) & (lin.residual_norm >= 0.5 * bn)
+            conv = conv | (stalled & (dxn <= mp_floor_inc_rtol * xn_new))
         return x_new, k + 1, conv, dxn, cg_total + lin.iters
 
     x0 = jnp.asarray(x0)

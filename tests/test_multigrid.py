@@ -283,6 +283,51 @@ def test_amg_unstructured_iteration_cut():
     assert ka <= 3.0 * kg, f"AMG {ka} iters vs geometric MG {kg}"
 
 
+def test_dg_mixed_floor_convergence_16x16x8():
+    """DG-1 mixed precision at the reference tolerance (rtol 1e-12) on the
+    50:1 plate at 16x16x8 — the size where the f32 SIPG matvec noise
+    floors the attainable inner residual ABOVE the 1e-4 inexact-Newton
+    target (measured: true relative residual floor ~8e-4; by the 3rd
+    Newton iteration CG achieves NO reduction — the remaining RHS lives in
+    the f32 operator's cancellation-noise subspace). The solve must
+    converge at the mixed-precision floor (solver/newton.py
+    mp_floor_inc_rtol) in a few Newton iterations per step instead of
+    burning newton_max_it x cg_max_it, and land within the ~1e-3 K floor
+    of the full-f64 solution."""
+    import numpy as np
+
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+
+    mesh = box_mesh_3d(16, 16, 8, 1.0, 1.0, 0.01)
+    res = {}
+    for cgd in ("same", "float32"):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="DG", T_degree=1),
+            time=TimeConfig(0.0, 0.2, 0.1),
+            solver=SolverConfig(preconditioner="mg", linear_operator="stencil",
+                                newton_rtol=1e-12, newton_atol=1e-10,
+                                cg_rtol=1e-12, cg_max_it=2000,
+                                cg_dtype=cgd),
+            output=OutputConfig(write_every=0, formats=()),
+            dtype="float64",
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        res[cgd] = (np.asarray(st.T), prob.diagnostics.newton_iters,
+                    prob.diagnostics.krylov_iters)
+    T32, newton32, cg32 = res["float32"]
+    assert newton32 <= 12, f"Newton spun: {newton32} iterations for 2 steps"
+    assert cg32 <= 4000, f"inner CG burned {cg32} iterations"
+    # the mixed-precision DG floor (penalty cancellation in the f32
+    # matvec) is ~1e-3 K; full f64 agreement is NOT attainable here
+    np.testing.assert_allclose(T32, res["same"][0], atol=5e-3)
+
+
 def test_dg_mixed_precision_with_column_mg():
     """DG-1 mixed precision (f64 Newton / f32 CG) with the column-smoothed
     p-multigrid — the production DG route on TPU (raw f32 DG diverges:
