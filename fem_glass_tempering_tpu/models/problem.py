@@ -211,12 +211,17 @@ class ThermoViscoProblem:
         if getattr(sc, "grid_native", "auto") != "off":
             from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
             try:
-                # lazy_tables: every single-device consumer rides the
-                # constant-row form when available, so the (n_off, *grid)
-                # device tables never materialize (ops/grid.py)
+                # allow_const=False: the constant-row form's per-apply
+                # face-flux blocks and boundary-row overwrites serialize
+                # on TPU — measured 13x slower in the full step than the
+                # materialized-table matvec (159 vs 11.9 ms/step at
+                # 64x64x16; BENCH.md "constant-row post-mortem") despite
+                # the lower HBM traffic. Tables win; const stays
+                # available for memory-bound opt-in via direct
+                # construction.
                 self._grid = GridHeatOperator(
                     self.heat, use_pallas=self.config.use_pallas,
-                    flux_marker=flux_marker, lazy_tables=True)
+                    flux_marker=flux_marker, allow_const=False)
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
@@ -321,7 +326,7 @@ class ThermoViscoProblem:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
                 self._grid32 = GridHeatOperator(
                     self._heat32, use_pallas=self.config.use_pallas,
-                    flux_marker=flux_marker, lazy_tables=True)
+                    flux_marker=flux_marker, allow_const=False)
             _mark("grid32_twin")
             if sc.preconditioner == "mg":
                 if (self.mesh.structured is None or self.fs_T.degree != 1

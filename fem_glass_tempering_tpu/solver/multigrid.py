@@ -314,10 +314,11 @@ class GeometricMG:
         if not hasattr(lvl, "_gridop"):
             try:
                 from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
-                # lazy_tables: level smoothing uses make_matvec /
-                # jacobian_diag only, both constant-row when available;
-                # the dense coarse solve reads the NUMPY tables (np_dense)
-                lvl._gridop = GridHeatOperator(lvl.op, lazy_tables=True)
+                # allow_const=False: the table matvec beats the
+                # constant-row form 13x in the full TPU step (BENCH.md
+                # "constant-row post-mortem"); the dense coarse solve
+                # reads the NUMPY tables (np_dense)
+                lvl._gridop = GridHeatOperator(lvl.op, allow_const=False)
                 lvl._stencil = lvl._gridop.st
             except Exception:
                 lvl._gridop = None
