@@ -50,6 +50,9 @@ def main():
                     help="DG-1 temperature space (the reference's default "
                          "element, main.py:25) with the column-smoothed "
                          "p-multigrid")
+    ap.add_argument("--mg-table-dtype", default="same",
+                    help="'bfloat16' streams the V-cycle value tables in "
+                         "bf16 (half the preconditioner's HBM traffic)")
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the window into dispatches of this many "
@@ -69,7 +72,8 @@ def main():
             newton_rtol=1e-12, newton_atol=1e-10,
             cg_rtol=1e-12, cg_max_it=2000,
             preconditioner=args.precond, mg_smoother="chebyshev",
-            linear_operator="stencil", cg_dtype="float32"),
+            linear_operator="stencil", cg_dtype="float32",
+            mg_table_dtype=args.mg_table_dtype),
         output=OutputConfig(write_every=0, formats=()),
         dtype="float64",
     )

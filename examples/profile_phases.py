@@ -95,6 +95,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--mg-max-levels", type=int, default=0)
     ap.add_argument("--mg-coarse", default="auto")
+    ap.add_argument("--mg-table-dtype", default="same",
+                    help="'bfloat16' streams the V-cycle value tables in "
+                         "bf16 (half the dominant HBM traffic)")
     ap.add_argument("--skip-step", action="store_true")
     args = ap.parse_args()
 
@@ -106,6 +109,7 @@ def main():
     if args.mg_max_levels:
         sc["mg_max_levels"] = args.mg_max_levels
     sc["mg_coarse"] = args.mg_coarse
+    sc["mg_table_dtype"] = args.mg_table_dtype
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1),
         time=TimeConfig(0.0, args.steps * 0.1, 0.1),

@@ -127,6 +127,14 @@ class SolverConfig:
     # 'smooth' = fixed Chebyshev/Jacobi sweeps at the full-depth floor;
     # 'dense' = dense inverse at an explicit mg_max_levels cap
     mg_coarse: str = "auto"
+    # dtype the V-cycle's per-level stencil tables STREAM in: 'same'
+    # keeps the cycle dtype; 'bfloat16' halves the dominant HBM traffic
+    # of the MG-preconditioned CG iteration (the fine-level value tables
+    # are ~115 MB/apply at 1M dofs) at ~3 significant digits of operator
+    # accuracy — a preconditioner-only perturbation: the CG system
+    # matvec, residuals, transfers, diagonals and the dense coarse solve
+    # keep the cycle dtype. Vectors stay in cycle dtype throughout.
+    mg_table_dtype: str = "same"    # 'same' | 'bfloat16'
     # DG-level smoother for the DG-1 p-multigrid (solver/multigrid.py):
     # 'auto' picks 'column' (block-tridiagonal line solve along the
     # strongly coupled axis) on anisotropic plates, 'block' otherwise;

@@ -257,6 +257,10 @@ class ThermoViscoProblem:
         _mark("mechanics")
         self._mg = None
         self._dg_mg = None
+        # V-cycle table streaming dtype (SolverConfig.mg_table_dtype)
+        mg_tdt = (jnp.bfloat16
+                  if getattr(sc, "mg_table_dtype", "same") == "bfloat16"
+                  else None)
         # mixed precision replaces the f64 preconditioner with its f32
         # twin (built below) — skip building/freezing the f64 hierarchy:
         # it would be dead weight, and its setup runs f64 batched
@@ -291,7 +295,8 @@ class ThermoViscoProblem:
                                "nu_pre": sc.mg_nu_pre,
                                "nu_post": sc.mg_nu_post,
                                "max_levels": sc.mg_max_levels,
-                               "coarse": sc.mg_coarse})
+                               "coarse": sc.mg_coarse,
+                               "table_dtype": mg_tdt})
                 self._dg_mg.freeze(
                     _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
                               dtype=self.dtype), self.dt)
@@ -302,7 +307,8 @@ class ThermoViscoProblem:
                                        nu_pre=sc.mg_nu_pre,
                                        nu_post=sc.mg_nu_post,
                                        max_levels=sc.mg_max_levels,
-                                       coarse=sc.mg_coarse)
+                                       coarse=sc.mg_coarse,
+                                       table_dtype=mg_tdt)
                 self._mg.freeze_omegas(
                     _jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
                               dtype=self.dtype), self.dt)
@@ -359,7 +365,8 @@ class ThermoViscoProblem:
                                    "nu_pre": sc.mg_nu_pre,
                                    "nu_post": sc.mg_nu_post,
                                    "max_levels": sc.mg_max_levels,
-                                   "coarse": sc.mg_coarse})
+                                   "coarse": sc.mg_coarse,
+                                   "table_dtype": mg_tdt})
                     self._dg_mg32.freeze(T0, self.dt)
                     _mark("dg_mg32_freeze")
                 else:
@@ -369,7 +376,8 @@ class ThermoViscoProblem:
                                              nu_pre=sc.mg_nu_pre,
                                              nu_post=sc.mg_nu_post,
                                              max_levels=sc.mg_max_levels,
-                                             coarse=sc.mg_coarse)
+                                             coarse=sc.mg_coarse,
+                                             table_dtype=mg_tdt)
                     self._mg32.freeze_omegas(T0, self.dt)
                     _mark("mg32_freeze")
         # smoothed-aggregation AMG (solver/amg.py): the mesh-agnostic GAMG
@@ -470,6 +478,9 @@ class ThermoViscoProblem:
         elif sc.linear_operator == "stencil":
             if grid is not None:
                 ell = grid
+            elif self._dg_mg is not None:
+                # share the (non-mixed) DG p-MG's table-form block stencil
+                ell = self._dg_mg.stencil
             else:
                 from fem_glass_tempering_tpu.ops.stencil import (
                     make_stencil_operator,
@@ -501,6 +512,12 @@ class ThermoViscoProblem:
             if sc.linear_operator == "stencil":
                 if self._grid32 is not None:
                     ell32 = self._grid32
+                elif self._dg_mg32 is not None:
+                    # share the DG p-MG's table-form block stencil: the
+                    # CG-loop matvec rides the same materialized tables
+                    # (one upload, one HBM copy; tables beat the
+                    # constant-block form 2x on TPU, profile_dg.py)
+                    ell32 = self._dg_mg32.stencil
                 else:
                     from fem_glass_tempering_tpu.ops.stencil import (
                         make_stencil_operator,
@@ -584,9 +601,22 @@ class ThermoViscoProblem:
                     diag_fn = lambda T: hres.jacobian_diag(T, dt)
             noise_fn = None
             if noise_rel:
-                def noise_fn(T):
-                    d = hres.jacobian_diag(T, dt) * T
-                    return noise_rel * jnp.sqrt(jnp.vdot(d, d))
+                # the floor is a magnitude SCALE (64x prefactor, ~1%
+                # accuracy suffices) and barely moves within one step's
+                # Newton iterations — evaluate ONCE per step at T_prev
+                # instead of per Newton iteration, and in the f32 twin
+                # when it exists: the emulated-f64 DG jacobian_diag costs
+                # 19.7 ms per call at 524k dofs (examples/profile_dg.py)
+                # vs ~0.5 ms for the f32 twin.
+                if mixed and hres32 is not None:
+                    d32 = (hres32.jacobian_diag(cast(state.T), dt32)
+                           * cast(state.T))
+                    floor = (noise_rel * jnp.sqrt(jnp.vdot(d32, d32))
+                             ).astype(state.T.dtype)
+                else:
+                    d = hres.jacobian_diag(state.T, dt) * state.T
+                    floor = noise_rel * jnp.sqrt(jnp.vdot(d, d))
+                noise_fn = lambda T: floor
             res = newton_solve(
                 lambda T: hres.residual(T, state.T, dt),
                 state.T,
@@ -598,6 +628,16 @@ class ThermoViscoProblem:
                 cg_rtol=cg_rtol32 if mixed else sc.cg_rtol,
                 cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
                 cg_cast=f32 if mixed else None,
+                # stall exit tuned to preconditioner strength: an
+                # MG-preconditioned solve that hasn't improved in 25
+                # iterations is floored (each iteration contracts
+                # multiplicatively), while Jacobi-CG has legitimate long
+                # plateaus (keep newton_solve's 100 auto-window).
+                # Measured (DG 524k rtol 1e-12 on TPU): floored solves
+                # burned ~(floor + 100) iterations per Newton step — the
+                # stall tail was ~half the remaining CG work.
+                cg_stall_window=(25 if (mixed and precond_fn is not None)
+                                 else None),
             )
             new_state = engine.material_step(state, res.x, dt, mech=mech_fn)
             finite = jnp.isfinite(res.x).all()

@@ -490,11 +490,16 @@ class GridHeatOperator:
                     vals = vals.at[(o,) + sl].add(blk)
         return vals
 
-    def _mv_flat(self, vals):
+    def _mv_flat(self, vals, stream_dtype=None):
         """Flat-vector matvec apply from materialized values. Default is
         the 2D-flattened XLA form (HBM roofline at 1M dofs, BENCH.md);
         use_pallas selects the hand-tiled kernel (faster at sub-300k-dof
-        meshes where in-register rotates are cheap)."""
+        meshes where in-register rotates are cheap). `stream_dtype`
+        (e.g. bfloat16) down-casts the value TABLES only — the x vector
+        and the f32 accumulator keep the operator dtype, so the apply
+        reads half the HBM bytes at ~3 significant digits of operator
+        accuracy (preconditioner-grade; the MG V-cycle's fine-level
+        tables are the dominant traffic of the 1M-dof step)."""
         # Mosaic compiles f32 only — an f64 operator (e.g. --use-pallas
         # with dtype=float64) falls back to the XLA pad+slice form
         if self.use_pallas and self.d >= 2 and self.dtype == jnp.float32:
@@ -504,15 +509,19 @@ class GridHeatOperator:
             return lambda v: stencil_matvec_pallas(vals, v, self.grid)
         if self.d > 1 and not self.pad0:
             vals2 = vals.reshape(vals.shape[0], self.grid[0], -1)
+            if stream_dtype is not None:
+                vals2 = vals2.astype(stream_dtype)
             return lambda v: self.st.matvec_flat(vals2, v)
+        if stream_dtype is not None:
+            vals = vals.astype(stream_dtype)
         return lambda v: self.matvec_vals(
             vals, v.reshape(self.grid)).reshape(-1)
 
-    def make_matvec(self, T: jnp.ndarray, dt):
+    def make_matvec(self, T: jnp.ndarray, dt, stream_dtype=None):
         assert self.pad0 == 0, "flat API unavailable on a padded grid"
         use_pallas = (self.use_pallas and self.d >= 2
                       and self.dtype == jnp.float32)
-        if self.const_ok and not use_pallas:
+        if self.const_ok and not use_pallas and stream_dtype is None:
             # constant-row form: no value table materializes; the flux
             # linearization at the frozen T rides as face-local blocks
             rowvals = self.crow_mass + dt * self.crow_stiff
@@ -526,7 +535,7 @@ class GridHeatOperator:
                 return yg.reshape(-1)
         else:
             vals = self.stencil_values(T, dt)
-            mv = self._mv_flat(vals)
+            mv = self._mv_flat(vals, stream_dtype=stream_dtype)
         if self.has_bc:
             mask = self.bc_mask
             return lambda v: jnp.where(

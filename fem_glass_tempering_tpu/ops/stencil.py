@@ -288,7 +288,7 @@ class DGStencilMatrix:
     CG-1 StencilMatrix above but at cell granularity with block values.
     """
 
-    def __init__(self, op: HeatOperator):
+    def __init__(self, op: HeatOperator, allow_const: bool = True):
         fs = op.fs
         mesh = fs.mesh
         if mesh.structured is None or fs.family != "DG":
@@ -413,7 +413,7 @@ class DGStencilMatrix:
         self.self_const = False
         self.A_mass = self.A_stiff = None
         self.corr_pp = self.corr_mm = None
-        if qw.ndim == 1 and self.cross_const:
+        if allow_const and qw.ndim == 1 and self.cross_const:
             ok = True
             Cpp, Cmm = [], []
             for a in range(d):
@@ -679,10 +679,10 @@ class DGStencilMatrix:
         return d
 
 
-def make_stencil_operator(op: HeatOperator):
+def make_stencil_operator(op: HeatOperator, allow_const: bool = True):
     """Factory: the gather-free stencil operator matching the operator's
     space — CG-1 nodal stencil or DG block stencil — on structured box
     meshes. Raises ValueError when neither applies."""
     if op.fs.family == "DG":
-        return DGStencilMatrix(op)
+        return DGStencilMatrix(op, allow_const=allow_const)
     return StencilMatrix(op)

@@ -79,7 +79,7 @@ class GeometricMG:
                  coarse_iters: int = 24, min_level_nodes: int = 27,
                  use_stencil: bool = True, smoother: str = "jacobi",
                  max_levels: int = 0, coarse: str = "auto",
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, table_dtype=None):
         if mesh.structured is None:
             raise ValueError("geometric MG needs a structured box mesh")
         if smoother not in ("jacobi", "chebyshev"):
@@ -97,6 +97,10 @@ class GeometricMG:
         # back to jvp-of-residual when the level operator can't stencil
         self.use_stencil = use_stencil
         self.dtype = dtype
+        # stream the per-level value tables in this dtype (e.g. bf16 —
+        # halves the cycle's dominant HBM traffic; vectors/diags/coarse
+        # solve keep `dtype`). None = stream in `dtype`.
+        self.table_dtype = table_dtype
         self.levels: list[MGLevel] = []
         dims = tuple(mesh.structured["dims"])
         lengths = tuple(mesh.structured["lengths"])
@@ -228,7 +232,7 @@ class GeometricMG:
                 # preconditioner rebuild was ~45% of the 1M step when the
                 # levels used StencilMatrix.values_at's scatter + the
                 # HeatOperator segment-sum diag (profile_phases.py)
-                f = g.make_matvec(T, dt)
+                f = g.make_matvec(T, dt, stream_dtype=self.table_dtype)
                 d = g.jacobian_diag(T, dt)
             else:
                 st = self._stencil_for(lvl)
@@ -247,13 +251,17 @@ class GeometricMG:
             # spectral radius of D^{-1}A by power iteration: consistent-mass
             # FEM operators on anisotropic grids push lambda_max(D^{-1}A)
             # well past 2, where a fixed-omega Jacobi smoother diverges.
+            # Traced fallback only (freeze_omegas' Gershgorin bound is the
+            # production path): 10 iterations from a deterministic start
+            # can undershoot, and an undershot Chebyshev/Jacobi window
+            # AMPLIFIES the uncovered modes — wide safety margin.
             v = jnp.sin(jnp.arange(T.shape[0], dtype=T.dtype) * 0.7) + 0.01
             rho = jnp.asarray(1.0, T.dtype)
             for _ in range(10):
                 w = f(v) / d
                 rho = jnp.linalg.norm(w) / jnp.linalg.norm(v)
                 v = w / jnp.linalg.norm(w)
-            rhos.append(rho * 1.05)
+            rhos.append(rho * 1.4)
 
         def smooth_jacobi(i, x, b, nu):
             # omega = 4/(3 rho): optimal damped Jacobi for a spectrum (0, rho]
@@ -414,7 +422,7 @@ class DGMultigrid:
 
     def __init__(self, dg_op, make_cg_operator, *, nu: int = 1,
                  smoother: str = "auto", dtype=jnp.float64,
-                 mg_kwargs: dict | None = None):
+                 mg_kwargs: dict | None = None, column_dense: bool = True):
         fs = dg_op.fs
         mesh = fs.mesh
         if fs.family != "DG" or fs.degree != 1:
@@ -425,7 +433,12 @@ class DGMultigrid:
         from fem_glass_tempering_tpu.ops.stencil import DGStencilMatrix
 
         self.dg_op = dg_op
-        self.stencil = DGStencilMatrix(dg_op)
+        # materialized block tables, not the constant-block form: the
+        # cycle applies the matvec 4x per V-cycle and the table form
+        # measured 2x faster on TPU (0.252 vs 0.497 ms at 524k dofs,
+        # examples/profile_dg.py — same dispatch-bound reason as the
+        # CG-side constant-row post-mortem in BENCH.md)
+        self.stencil = DGStencilMatrix(dg_op, allow_const=False)
         self.nu = nu
         dims = tuple(mesh.structured["dims"])
         lengths = tuple(mesh.structured["lengths"])
@@ -445,6 +458,7 @@ class DGMultigrid:
         if smoother == "column" and not self.stencil.cross_const:
             raise ValueError("column smoother needs constant cross blocks")
         self.smoother = smoother
+        self.column_dense = column_dense
         self.col_axis = int(np.argmin(h)) if smoother == "column" else None
         self.dtype = dtype
         # DG-1 local nodes are the cell vertices in the builders' order,
@@ -454,17 +468,56 @@ class DGMultigrid:
         self.n_nodes = mesh.n_nodes
         counts = np.bincount(mesh.cells.reshape(-1), minlength=mesh.n_nodes)
         self.inv_counts = jnp.asarray(1.0 / counts, dtype=dtype)
+        # gather-free p-transfers on the lexicographic box lattice:
+        # prolong = 8 static slices of the node grid, restrict = 8 static
+        # slice-adds — the gather x_cg[cells_flat] / segment_sum pair costs
+        # 7.2 ms per V-cycle at 524k dofs on TPU v5e (77% of the cycle,
+        # examples/profile_dg.py) where the slice forms are VPU streaming.
+        self._node_grid = tuple(n + 1 for n in dims)
+        nstr = [int(np.prod(self._node_grid[i + 1:]))
+                for i in range(len(dims))]
+        cells_np = mesh.cells
+        offs = []
+        for l in range(cells_np.shape[1]):
+            nid = int(cells_np[0, l])
+            o = []
+            for s in nstr:
+                o.append(nid // s)
+                nid %= s
+            offs.append(tuple(o))
+        # verify translation invariance (vectorized reconstruction)
+        cc = np.stack(np.unravel_index(np.arange(mesh.n_cells), dims),
+                      axis=-1)
+        rec = np.stack([
+            sum((cc[:, i] + o[i]) * nstr[i] for i in range(len(dims)))
+            for o in offs], axis=-1)
+        self._vert_offs = offs if np.array_equal(rec, cells_np) else None
         self.cg_mg = GeometricMG(mesh, make_cg_operator, dtype=dtype,
                                  **(mg_kwargs or {}))
         self._frozen_rho = None
 
     # ---- p-transfers -------------------------------------------------
     def prolong(self, x_cg):
-        return x_cg[self.cells_flat]
+        if self._vert_offs is None:
+            return x_cg[self.cells_flat]
+        dims = self.stencil.cell_dims
+        xg = x_cg.reshape(self._node_grid)
+        parts = [jax.lax.slice(xg, o, tuple(oi + di for oi, di
+                                            in zip(o, dims)))
+                 for o in self._vert_offs]
+        return jnp.stack(parts, axis=-1).reshape(-1)
 
     def restrict(self, r_dg):
-        return jax.ops.segment_sum(r_dg, self.cells_flat,
-                                   num_segments=self.n_nodes)
+        if self._vert_offs is None:
+            return jax.ops.segment_sum(r_dg, self.cells_flat,
+                                       num_segments=self.n_nodes)
+        dims = self.stencil.cell_dims
+        rg = r_dg.reshape(dims + (self.stencil.nloc,))
+        out = jnp.zeros(self._node_grid, dtype=r_dg.dtype)
+        for l, o in enumerate(self._vert_offs):
+            sl = tuple(slice(oi, oi + di) for oi, di in zip(o, dims))
+            out = out.at[sl].add(rg[..., l])
+        return out.reshape(-1)
 
     def restrict_state(self, T_dg):
         """Vertex-averaged CG representation of a DG iterate — the
@@ -548,6 +601,8 @@ class DGMultigrid:
             C, nloc = self.stencil.C, self.stencil.nloc
             return self._bmv(data["inv_self"],
                              r.reshape(C, nloc)).reshape(-1)
+        if "colinv" in data:
+            return self._colinv_apply(data, r)
         st = self.stencil
         a = self.col_axis
         dims = st.cell_dims
@@ -568,6 +623,36 @@ class DGMultigrid:
         for k in range(nzc - 2, -1, -1):
             x[k] = self._bmv(invD[k], y[k] - self._bmv(BpT.T, x[k + 1]))
         xg = jnp.stack(x, axis=1)                         # (ncol, nzc, nloc)
+        shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+        xg = xg.reshape(shape_perm)
+        xg = jnp.transpose(xg, inv_perm + (d,))
+        return xg.reshape(-1)
+
+    def _colinv_apply(self, data, r):
+        """Exact column solve via frozen dense PER-TYPE column inverses:
+        on a uniform box the (nzc·nloc)² block-tridiagonal column matrix
+        takes only a handful of distinct values (interior / x-y boundary
+        layers / corners), so the solve is ONE (ncol, nb)x(nb, t·nb)
+        matmul plus a masked combine — two large MXU/VPU ops instead of
+        the ~3·nzc SEQUENTIAL small block ops of the Thomas recurrence
+        (the TPU dispatch-bound tail of the DG V-cycle)."""
+        st = self.stencil
+        a = self.col_axis
+        dims = st.cell_dims
+        d = len(dims)
+        nloc = st.nloc
+        nzc = dims[a]
+        ncol = st.C // nzc
+        nb = nzc * nloc
+        perm = tuple(i for i in range(d) if i != a) + (a,)
+        inv_perm = tuple(int(i) for i in np.argsort(perm))
+        Minv = data["colinv"]                       # (t, nb, nb)
+        mask = data["colmask"]                      # (ncol, t)
+        t = Minv.shape[0]
+        rg = r.reshape(dims + (nloc,))
+        rg = jnp.transpose(rg, perm + (d,)).reshape(ncol, nb)
+        ys = (rg @ Minv.reshape(t * nb, nb).T).reshape(ncol, t, nb)
+        xg = (ys * mask[:, :, None]).sum(axis=1)    # (ncol, nb)
         shape_perm = tuple(dims[i] for i in perm) + (nloc,)
         xg = xg.reshape(shape_perm)
         xg = jnp.transpose(xg, inv_perm + (d,))
@@ -640,44 +725,109 @@ class DGMultigrid:
             A = vals.reshape(dims + (nloc, nloc))
             A = np.transpose(A, perm + (d, d + 1)).reshape(
                 ncol, nzc, nloc, nloc)
-            invD = [np.linalg.inv(A[:, 0])]
-            Ls = []
-            for k in range(1, nzc):
-                Lk = np.einsum("lm,cmk->clk", Bm[a], invD[-1])
-                Dk = A[:, k] - np.einsum("clk,km->clm", Lk, Bp[a])
-                invD.append(np.linalg.inv(Dk))
-                Ls.append(Lk)
+            nb = nzc * nloc
+            # dense per-type column inverses (see _colinv_apply): group
+            # matching columns (uniform boxes have ~3^(d-1) types:
+            # interior / x-y boundary layers / corners) and invert each
+            # dense block-tridiagonal column matrix once. Grouping keys
+            # are quantized to 12 digits — assembly summation order
+            # leaves ~1e-12 relative noise between same-type columns, and
+            # a frozen preconditioner tolerates picking one representative
+            keys = A.reshape(ncol, -1)
+            kscale = max(float(np.abs(keys).max()), 1e-300)
+            uniq, first, inv_idx = np.unique(
+                np.round(keys / kscale, 12), axis=0, return_index=True,
+                return_inverse=True)
+            inv_idx = np.asarray(inv_idx).reshape(-1)
+            if self.column_dense and nb <= 512 and len(uniq) <= 32:
+                nt = len(uniq)
+                Ms = np.zeros((nt, nb, nb))
+                for t, At in enumerate(A[first]):
+                    M = np.zeros((nb, nb))
+                    for k in range(nzc):
+                        M[k * nloc:(k + 1) * nloc,
+                          k * nloc:(k + 1) * nloc] = At[k]
+                        if k + 1 < nzc:
+                            M[k * nloc:(k + 1) * nloc,
+                              (k + 1) * nloc:(k + 2) * nloc] = Bp[a]
+                            M[(k + 1) * nloc:(k + 2) * nloc,
+                              k * nloc:(k + 1) * nloc] = Bm[a]
+                    Ms[t] = np.linalg.inv(M)
+                mask = np.zeros((ncol, nt))
+                mask[np.arange(ncol), inv_idx] = 1.0
 
-            def zsolve(r):
-                rg = r.reshape(dims + (nloc,))
-                rg = np.transpose(rg, perm + (d,)).reshape(ncol, nzc, nloc)
-                y = [rg[:, 0]]
+                def zsolve(r):
+                    rg = r.reshape(dims + (nloc,))
+                    rg = np.transpose(rg, perm + (d,)).reshape(ncol, nb)
+                    x = np.empty_like(rg)
+                    for t in range(nt):
+                        sel = inv_idx == t
+                        x[sel] = rg[sel] @ Ms[t].T
+                    shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+                    xg = x.reshape(shape_perm)
+                    return np.transpose(xg, inv_perm + (d,)).reshape(-1)
+
+                data = {"colinv": jnp.asarray(Ms, dtype=self.dtype),
+                        "colmask": jnp.asarray(mask, dtype=self.dtype)}
+            else:
+                invD = [np.linalg.inv(A[:, 0])]
+                Ls = []
                 for k in range(1, nzc):
-                    y.append(rg[:, k] - np.einsum(
-                        "clk,ck->cl", Ls[k - 1], y[-1]))
-                x = [None] * nzc
-                x[-1] = np.einsum("clm,cm->cl", invD[-1], y[-1])
-                for k in range(nzc - 2, -1, -1):
-                    x[k] = np.einsum("clm,cm->cl", invD[k],
-                                     y[k] - x[k + 1] @ Bp[a].T)
-                xg = np.stack(x, axis=1)
-                shape_perm = tuple(dims[i] for i in perm) + (nloc,)
-                xg = xg.reshape(shape_perm)
-                xg = np.transpose(xg, inv_perm + (d,))
-                return xg.reshape(-1)
+                    Lk = np.einsum("lm,cmk->clk", Bm[a], invD[-1])
+                    Dk = A[:, k] - np.einsum("clk,km->clm", Lk, Bp[a])
+                    invD.append(np.linalg.inv(Dk))
+                    Ls.append(Lk)
 
-            data = {"invD": [jnp.asarray(m, dtype=self.dtype) for m in invD],
-                    "Ls": [jnp.asarray(m, dtype=self.dtype) for m in Ls],
-                    "BpT": jnp.asarray(Bp[a].T, dtype=self.dtype)}
+                def zsolve(r):
+                    rg = r.reshape(dims + (nloc,))
+                    rg = np.transpose(rg, perm + (d,)).reshape(
+                        ncol, nzc, nloc)
+                    y = [rg[:, 0]]
+                    for k in range(1, nzc):
+                        y.append(rg[:, k] - np.einsum(
+                            "clk,ck->cl", Ls[k - 1], y[-1]))
+                    x = [None] * nzc
+                    x[-1] = np.einsum("clm,cm->cl", invD[-1], y[-1])
+                    for k in range(nzc - 2, -1, -1):
+                        x[k] = np.einsum("clm,cm->cl", invD[k],
+                                         y[k] - x[k + 1] @ Bp[a].T)
+                    xg = np.stack(x, axis=1)
+                    shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+                    xg = xg.reshape(shape_perm)
+                    xg = np.transpose(xg, inv_perm + (d,))
+                    return xg.reshape(-1)
+
+                data = {"invD": [jnp.asarray(m, dtype=self.dtype)
+                                 for m in invD],
+                        "Ls": [jnp.asarray(m, dtype=self.dtype)
+                               for m in Ls],
+                        "BpT": jnp.asarray(Bp[a].T, dtype=self.dtype)}
 
         n = C * nloc
-        v = np.sin(np.arange(n) * 0.7) + 0.01
+        # rho(Z^-1 A) upper estimate. The smoother's Chebyshev window
+        # [rho/4, rho] MUST cover lambda_max: an underestimate leaves
+        # |1 - p(lambda)| > 1 modes and the V-cycle AMPLIFIES them —
+        # measured on the 16x16x8 50:1 plate: 12 deterministic power
+        # iterations gave 1.08 while the true lambda_max is 1.97, i.e.
+        # rho(I - M^-1 A) = 3.7, a divergent stationary iteration that
+        # only survived inside CG (and cost ~4x the iterations).
+        # Power-iterate from a seeded random start (the deterministic
+        # sine start is nearly orthogonal to the dominant xy-coupling
+        # mode) until the Rayleigh estimate stalls, then take a 15%
+        # safety margin: overestimating mildly weakens smoothing,
+        # underestimating diverges.
+        rng_pi = np.random.default_rng(12345)
+        v = rng_pi.standard_normal(n)
         rho = 1.0
-        for _ in range(12):
+        for i in range(200):
             w = zsolve(np_matvec(v))
-            rho = float(np.linalg.norm(w) / np.linalg.norm(v))
+            rho_new = float(np.linalg.norm(w) / np.linalg.norm(v))
             v = w / np.linalg.norm(w)
-        self._frozen_rho = rho * 1.05
+            if i >= 30 and abs(rho_new - rho) < 1e-3 * rho:
+                rho = rho_new
+                break
+            rho = rho_new
+        self._frozen_rho = rho * 1.15
         self._frozen_smoother_data = data
         # freeze_omegas never uses the fine state (Gershgorin from numpy
         # row stats); the previous restrict_state(T_dg0) here was a pure
@@ -696,13 +846,18 @@ class DGMultigrid:
             data = self._zsolve_data(T_dg, dt)
         zsolve = lambda r: self._zsolve_apply(data, r)
         if rho is None:
+            # traced fallback (frozen path is production): few power
+            # iterations from a deterministic start UNDERESTIMATE badly
+            # (measured 1.08 vs true 1.97 on the 16x16x8 plate — see
+            # freeze), and an underestimated Chebyshev window makes the
+            # cycle amplify the uncovered modes. Wide safety margin.
             v = jnp.sin(jnp.arange(T_dg.shape[0], dtype=T_dg.dtype) * 0.7) + 0.01
             r = jnp.asarray(1.0, T_dg.dtype)
             for _ in range(10):
                 w = zsolve(mv(v))
                 r = jnp.linalg.norm(w) / jnp.linalg.norm(v)
                 v = w / jnp.linalg.norm(w)
-            rho = r * 1.05
+            rho = r * 2.0
 
         nu = self.nu
 

@@ -357,3 +357,162 @@ def test_dg_mixed_precision_with_column_mg():
         st = prob.solve()
         res[cgd] = np.asarray(st.T)
     np.testing.assert_allclose(res["float32"], res["same"], rtol=1e-10)
+
+
+def test_dg_dense_column_smoother_matches_thomas():
+    """The frozen dense per-type column inverse (_colinv_apply — one
+    matmul + masked combine) is the SAME exact block-tridiagonal solve as
+    the sequential Thomas recurrence (round-3: the Thomas chain was
+    ~3*nzc serialized small ops, the TPU dispatch-bound tail of the DG
+    V-cycle)."""
+    import jax.numpy as jnp
+
+    from fem_glass_tempering_tpu.config import default_model_params
+    from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+    from fem_glass_tempering_tpu.ops.heat import HeatOperator
+    from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
+
+    p = default_model_params()
+    mesh = box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    fs = FunctionSpace(mesh, "DG", 1)
+    op = HeatOperator(fs, p, 0.1, dtype=jnp.float64)
+
+    def make_cg(m):
+        return HeatOperator(FunctionSpace(m, "CG", 1), p, 0.1,
+                            dtype=jnp.float64)
+
+    mg = DGMultigrid(op, make_cg, smoother="column", dtype=jnp.float64)
+    T0 = jnp.full(fs.n_scalar_dofs, p.T_0, dtype=jnp.float64)
+    mg.freeze(T0, 0.1)
+    data = mg._frozen_smoother_data
+    assert "colinv" in data, "dense column path not engaged"
+    assert data["colinv"].shape[0] == 9   # interior/edges/corners types
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    x_dense = mg._colinv_apply(data, r)
+    x_thomas = mg._zsolve_apply(mg._zsolve_data(T0, 0.1), r)
+    err = float(jnp.linalg.norm(x_dense - x_thomas)
+                / jnp.linalg.norm(x_thomas))
+    assert err < 1e-10, err
+
+    # opt-out keeps the Thomas factors
+    mg2 = DGMultigrid(op, make_cg, smoother="column", dtype=jnp.float64,
+                      column_dense=False)
+    mg2.freeze(T0, 0.1)
+    assert "invD" in mg2._frozen_smoother_data
+
+
+def test_dg_slice_transfers_match_gather():
+    """Gather-free p-transfers (static lattice slices) equal the
+    x_cg[cells_flat] gather / segment_sum scatter pair (which cost 7.2 ms
+    per V-cycle at 524k dofs on TPU — profile_dg.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fem_glass_tempering_tpu.config import default_model_params
+    from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+    from fem_glass_tempering_tpu.ops.heat import HeatOperator
+    from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
+
+    p = default_model_params()
+    for mesh in (box_mesh_3d(6, 5, 4, 1.0, 1.0, 0.01),
+                 box_mesh_2d(5, 4, 1.0, 0.02, cell_type="quad")):
+        fs = FunctionSpace(mesh, "DG", 1)
+        op = HeatOperator(fs, p, 0.1, dtype=jnp.float64)
+
+        def make_cg(m):
+            return HeatOperator(FunctionSpace(m, "CG", 1), p, 0.1,
+                                dtype=jnp.float64)
+
+        mg = DGMultigrid(op, make_cg, smoother="block", dtype=jnp.float64)
+        assert mg._vert_offs is not None
+        rng = np.random.default_rng(1)
+        xc = jnp.asarray(rng.standard_normal(mg.n_nodes))
+        rd = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+        np.testing.assert_array_equal(np.asarray(mg.prolong(xc)),
+                                      np.asarray(xc[mg.cells_flat]))
+        np.testing.assert_allclose(
+            np.asarray(mg.restrict(rd)),
+            np.asarray(jax.ops.segment_sum(rd, mg.cells_flat,
+                                           num_segments=mg.n_nodes)),
+            rtol=1e-13, atol=1e-13)
+
+
+def test_dg_smoother_spectrum_covered():
+    """Regression for the round-3 spectral-radius underestimate: the
+    frozen Chebyshev window must cover lambda_max(Z^-1 A) — an
+    undershoot makes the V-cycle AMPLIFY the uncovered modes (measured:
+    frozen rho 1.08 vs true 1.97 on the 16x16x8 plate, i.e. a divergent
+    stationary cycle costing 27x the CG iterations)."""
+    import jax.numpy as jnp
+
+    from fem_glass_tempering_tpu.config import default_model_params
+    from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+    from fem_glass_tempering_tpu.ops.heat import HeatOperator
+    from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
+
+    p = default_model_params()
+    mesh = box_mesh_3d(16, 16, 8, 1.0, 1.0, 0.01)
+    fs = FunctionSpace(mesh, "DG", 1)
+    op = HeatOperator(fs, p, 0.1, dtype=jnp.float64)
+
+    def make_cg(m):
+        return HeatOperator(FunctionSpace(m, "CG", 1), p, 0.1,
+                            dtype=jnp.float64)
+
+    mg = DGMultigrid(op, make_cg, smoother="column", dtype=jnp.float64)
+    T0 = jnp.full(fs.n_scalar_dofs, p.T_0, dtype=jnp.float64)
+    mg.freeze(T0, 0.1)
+    mv = mg.stencil.make_matvec(T0, 0.1)
+    data = mg._frozen_smoother_data
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    lam = 0.0
+    for _ in range(150):
+        w = mg._zsolve_apply(data, mv(v))
+        lam = float(jnp.linalg.norm(w) / jnp.linalg.norm(v))
+        v = w / jnp.linalg.norm(w)
+    assert mg._frozen_rho >= lam, (mg._frozen_rho, lam)
+
+    # and the V-cycle is now an honest contraction as a stationary
+    # iteration (it was rho(E) = 3.7 before the fix)
+    pc = mg.preconditioner(T0, 0.1)
+    e = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    rho_e = 1.0
+    for _ in range(30):
+        en = e - pc(mv(e))
+        rho_e = float(jnp.linalg.norm(en) / jnp.linalg.norm(e))
+        e = en / jnp.linalg.norm(en)
+    assert rho_e < 1.0, rho_e
+
+
+def test_mg_bf16_tables_equivalent_solve():
+    """mg_table_dtype='bfloat16' (V-cycle tables streamed in bf16 — half
+    the preconditioner's HBM traffic) is a preconditioner-only
+    perturbation: the mixed-precision solve converges to the same field
+    at the same tolerance."""
+    mesh = box_mesh_3d(16, 16, 8, 1.0, 1.0, 0.01)
+
+    def run(tdt):
+        cfg = RunConfig(
+            fe=FEConfig(T_family="CG", T_degree=1),
+            time=TimeConfig(0.0, 0.2, 0.1),
+            solver=SolverConfig(preconditioner="mg",
+                                linear_operator="stencil",
+                                newton_rtol=1e-12, newton_atol=1e-12,
+                                cg_rtol=1e-12, cg_max_it=20000,
+                                cg_dtype="float32",
+                                mg_smoother="chebyshev",
+                                mg_table_dtype=tdt),
+            output=OutputConfig(write_every=0, formats=()),
+            dtype="float64",
+        )
+        prob = ThermoViscoProblem(mesh=mesh, config=cfg)
+        prob.setup()
+        st = prob.solve()
+        return np.asarray(st.T), prob.diagnostics.krylov_iters
+
+    Tf, kf = run("same")
+    Tb, kb = run("bfloat16")
+    np.testing.assert_allclose(Tb, Tf, rtol=1e-11)
+    assert kb <= 2 * kf, (kb, kf)
