@@ -291,21 +291,41 @@ def build_interior_geometry(mesh: Mesh, fs: FunctionSpace,
             grad_p=z((0, q, l, g)), grad_m=z((0, q, l, g)),
             normal_p=z((0, q, g)), h_p=z((0,)),
         )
+    # uniform-box fast path: every interior facet with the same
+    # (local_facet_p, local_facet_m) pair is congruent (translation
+    # images of each other), so the geometric tables are computed for ONE
+    # representative facet per pair and broadcast — the per-facet merged
+    # tabulation below costs ~38 s at 64x64x16 (190k facets x 4 qpoints,
+    # measured; it dominated DG setup twice over for the f64/f32 twins)
+    sel = None
+    if mesh.structured is not None:
+        pairs = lp.astype(np.int64) * rc.n_facets + lm.astype(np.int64)
+        uniq, inv = np.unique(pairs, return_inverse=True)
+        inv = np.asarray(inv).reshape(-1)
+        reps = np.array([int(np.argmax(pairs == u)) for u in uniq])
+        sel = (reps, inv)
+        cp_t, lp_t, cm_t, lm_t = cp[reps], lp[reps], cm[reps], lm[reps]
+    else:
+        cp_t, lp_t, cm_t, lm_t = cp, lp, cm, lm
     # '+' side: map facet points into + cell reference coords
     xi_all = np.stack([rc.map_facet_points(lf, fq)
                        for lf in range(rc.n_facets)])
-    xi_p = xi_all[lp]
-    phi_p, grad_p, Jp, detJp, invJp = _facet_side_tables(mesh, fs, cp, xi_p)
-    w, n_p = _facet_measure_and_normal(mesh, lp, Jp, detJp, invJp, fw)
+    xi_p = xi_all[lp_t]
+    phi_p, grad_p, Jp, detJp, invJp = _facet_side_tables(mesh, fs, cp_t, xi_p)
+    w, n_p = _facet_measure_and_normal(mesh, lp_t, Jp, detJp, invJp, fw)
     # physical points from + side, pulled back into '-' cells so both sides
     # quadrate the same physical points in the same order
     geom = geometry_element(mesh.cell_type)
-    xcp = mesh.nodes[mesh.cells[cp]]
+    xcp = mesh.nodes[mesh.cells[cp_t]]
     gv = geom.tabulate(xi_p.reshape(-1, xi_p.shape[-1]))
-    gv = gv.reshape(nf, len(fw), -1)
+    gv = gv.reshape(len(cp_t), len(fw), -1)
     xq = np.einsum("fqv,fvg->fqg", gv, xcp)
-    xi_m = _invert_geometry_map(mesh, cm, xq)
-    phi_m, grad_m, _, _, _ = _facet_side_tables(mesh, fs, cm, xi_m)
+    xi_m = _invert_geometry_map(mesh, cm_t, xq)
+    phi_m, grad_m, _, _, _ = _facet_side_tables(mesh, fs, cm_t, xi_m)
+    if sel is not None:
+        _, inv = sel
+        w, phi_p, phi_m = w[inv], phi_p[inv], phi_m[inv]
+        grad_p, grad_m, n_p = grad_p[inv], grad_m[inv], n_p[inv]
     h_p = mesh.cell_diameters()[cp]
     return InteriorFacetGeometry(
         cell_p=cp, cell_m=cm, qweights=w,
