@@ -154,6 +154,8 @@ class HeatOperator:
             mask[np.asarray(bc_dofs)] = True
             vals[np.asarray(bc_dofs)] = bc_value if bc_value is not None else 0.0
         self.bc_mask = jnp.asarray(mask)
+        self.np_bc_mask = mask          # retained: setup-time consumers
+        # (np_dense) must not read bc_mask back off the device
         self.has_bc = bool(mask.any())
         self.bc_values = jnp.asarray(vals, dtype=dtype)
 

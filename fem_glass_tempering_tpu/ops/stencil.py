@@ -196,7 +196,7 @@ class StencilMatrix:
                           np.broadcast_to(bdm[:, None, :], blocks.shape)),
                       blocks)
         if op.has_bc:
-            mask = np.asarray(op.bc_mask)
+            mask = op.np_bc_mask
             A[mask, :] = 0.0
             A[:, mask] = 0.0
             A[np.ix_(mask, mask)] = np.eye(int(mask.sum()))

@@ -670,7 +670,18 @@ class DGMultigrid:
         st = self.stencil
         p = st.op.params
         C, nloc, d = st.C, st.nloc, st.d
-        T0 = float(np.asarray(T_dg0).reshape(-1)[0])
+        # NEVER read a device array back here: the first device->host
+        # readback in a process costs ~1 min flat in this environment
+        # (measured on a fresh 2 MB jnp.full on the CPU backend) and
+        # hundreds of seconds through the remote-TPU tunnel — it was 93%
+        # of DG setup. The frozen boundary linearization only needs the
+        # scalar initial temperature, which the operator already carries.
+        if isinstance(T_dg0, (int, float, np.floating)):
+            T0 = float(T_dg0)
+        elif isinstance(T_dg0, np.ndarray):
+            T0 = float(T_dg0.reshape(-1)[0])
+        else:                      # None or a device array (= jnp.full(T_0))
+            T0 = float(p.T_0)
 
         # values_at at a CONSTANT initial temperature, in numpy
         vals = st.np_self_mass + dt * st.np_self_stiff
