@@ -149,8 +149,12 @@ class GridMechanicsCoupling:
             # breaks CG outright (measured: 10 -> no convergence)
             frozen = None
             if engine.xi_formula == "trapezoid":
-                frozen = (float(np.sum(np.asarray(engine.g_n))),
-                          float(np.sum(np.asarray(engine.k_n))))
+                # numpy tableau source, NOT engine.g_n/k_n: those are
+                # device arrays and the first device->host readback in a
+                # process costs ~1 min flat here (66 s measured on this
+                # very line for a 6-element array)
+                tb = engine.tableaus
+                frozen = (float(np.sum(tb.g_n)), float(np.sum(tb.k_n)))
             self.mg = GridElastMG(self.el, make_level_op,
                                   frozen_moduli=frozen)
 

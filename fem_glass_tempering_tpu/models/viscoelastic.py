@@ -151,6 +151,8 @@ class ViscoelasticEngine:
         self.dtype = dtype
         self.dim = fs_T.mesh.tdim
         tb = tableaus or PronyTableaus.nielsen()
+        self.tableaus = tb        # numpy source: setup-time consumers
+        # (mechanics frozen moduli) must not read the device copies back
         f = lambda a: jnp.asarray(a, dtype=dtype)
         self.m_n = f(tb.m_n)
         self.lambda_m_n = f(tb.lambda_m_n)
