@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--nz", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dt", type=float, default=0.1)
+    ap.add_argument("--mech-tables", choices=("on", "off"), default="on",
+                    help="A/B: materialized block-stencil tables vs "
+                         "cell-recompute matvec in the elasticity CG/MG")
+    ap.add_argument("--mech-inc-rtol", type=float, default=None,
+                    help="increment-relative elasticity tolerance "
+                         "(default auto = 0.01; 0 disables)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -56,7 +62,8 @@ def main():
         solver=SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
                             cg_rtol=1e-5, cg_max_it=2000,
                             preconditioner="mg", mg_smoother="chebyshev",
-                            linear_operator="stencil"),
+                            linear_operator="stencil",
+                            mech_inc_rtol=args.mech_inc_rtol),
         output=OutputConfig(write_every=0, formats=()),
         params=params,
         physics_mode="corrected", mechanics="equilibrium",
@@ -68,6 +75,12 @@ def main():
     prob.setup(flux_marker=zmark)
     from fem_glass_tempering_tpu.models.mechanics import GridMechanicsCoupling
     grid_mech = isinstance(prob._mech, GridMechanicsCoupling)
+    if grid_mech and args.mech_tables == "off":
+        # A/B lever: fall back to the cell-recompute matvec (both forms
+        # are exactly equal, tests/test_grid_elasticity.py)
+        prob._mech.use_tables = False
+        if prob._mech.mg is not None:
+            prob._mech.mg.use_tables = False
     print(f"setup {time.perf_counter()-t0:.1f}s "
           f"({prob.fs_T.n_scalar_dofs} dofs, grid_mech={grid_mech}, "
           f"backend {jax.default_backend()})", file=sys.stderr, flush=True)
@@ -100,6 +113,8 @@ def main():
         "ok": bool(ok), "newton": int(ni), "cg": int(ki),
         "n_dofs": int(prob.fs_T.n_scalar_dofs),
         "grid_mechanics": grid_mech,
+        "mech_tables": args.mech_tables,
+        "mech_inc_rtol": (prob._mech.inc_rtol if grid_mech else None),
         "surface_sigma_xx": round(float(prof[0]), 6),
         "core_sigma_xx": round(float(prof[len(prof) // 2]), 6),
         "backend": jax.default_backend(),

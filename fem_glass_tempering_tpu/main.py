@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cg-dtype", choices=("same", "float32"),
                    help="float32 runs the inner CG in f32 under an f64 "
                         "outer Newton (mixed precision)")
+    p.add_argument("--mech-inc-rtol", type=float,
+                   help="equilibrium-mechanics increment-relative CG "
+                        "tolerance (default auto = 0.01; 0 = off, fixed "
+                        "tolerance only)")
     p.add_argument("--heat-form", choices=("reference", "physical"),
                    help="'physical' assembles the dimensional rho*cp/k "
                         "equation instead of the reference's "
@@ -155,6 +159,8 @@ def main(argv=None) -> int:
         sc = dataclasses.replace(sc, mg_max_levels=args.mg_max_levels)
     if args.mg_coarse:
         sc = dataclasses.replace(sc, mg_coarse=args.mg_coarse)
+    if args.mech_inc_rtol is not None:
+        sc = dataclasses.replace(sc, mech_inc_rtol=args.mech_inc_rtol)
     cfg = dataclasses.replace(cfg, solver=sc)
 
     if args.mesh:

@@ -31,12 +31,13 @@ from fem_glass_tempering_tpu.ops.elasticity import ElasticityOperator
 class MechanicsCoupling:
     def __init__(self, fs_T: FunctionSpace, fs_sigma: FunctionSpace,
                  engine, dtype=jnp.float64, cg_rtol: float = 1e-10,
-                 cg_max_it: int = 2000):
+                 cg_max_it: int = 2000, inc_rtol: float = 0.0):
         self.engine = engine
         self.d = fs_T.mesh.tdim
         self.elast = ElasticityOperator(fs_sigma, dtype=dtype)
         self.cg_rtol = cg_rtol
         self.cg_max_it = cg_max_it
+        self.inc_rtol = inc_rtol
         # tabulations at the elasticity operator's quadrature points
         from fem_glass_tempering_tpu.ops.assembly import build_cell_geometry
         cg = build_cell_geometry(fs_T.mesh, self.elast.fs)
@@ -95,7 +96,7 @@ class MechanicsCoupling:
         du, iters = self.elast.solve_increment(
             sigma_hist_q, eps0_q, G_eff, K_eff,
             rtol=self.cg_rtol, max_it=self.cg_max_it,
-            x0=getattr(state, "du", None))
+            x0=getattr(state, "du", None), rtol_r0=self.inc_rtol)
         self.last_cg_iters = iters
         return self.elast.strain_at_sigma_dofs(du), du
 
@@ -114,7 +115,8 @@ class GridMechanicsCoupling:
     def __init__(self, fs_sigma, engine, dtype=jnp.float32,
                  cg_rtol: float = 1e-10, cg_max_it: int = 2000,
                  pad_axis0: int = 0, grid_shaped: bool = False,
-                 preconditioner: str = "mg"):
+                 preconditioner: str = "mg", inc_rtol: float = 0.0,
+                 use_tables: bool = True):
         from fem_glass_tempering_tpu.ops.grid_elasticity import (
             GridElasticityOperator,
         )
@@ -127,6 +129,10 @@ class GridMechanicsCoupling:
         self.d = self.el.d
         self.cg_rtol = cg_rtol
         self.cg_max_it = cg_max_it
+        self.inc_rtol = inc_rtol
+        # materialized block-stencil tables for the CG/V-cycle matvecs
+        # (ops/grid_elasticity.py stencil_table_g; A/B: cell recompute)
+        self.use_tables = use_tables
         self.grid_shaped = grid_shaped
         self.I = jnp.eye(self.d, dtype=dtype)
         self.last_cg_iters = None
@@ -156,7 +162,8 @@ class GridMechanicsCoupling:
                 tb = engine.tableaus
                 frozen = (float(np.sum(tb.g_n)), float(np.sum(tb.k_n)))
             self.mg = GridElastMG(self.el, make_level_op,
-                                  frozen_moduli=frozen)
+                                  frozen_moduli=frozen,
+                                  use_tables=use_tables)
 
     def __call__(self, state, xi, scalar_th):
         el = self.el
@@ -196,9 +203,14 @@ class GridMechanicsCoupling:
 
         zero = jnp.zeros(grid + (d,), dtype=xi_q.dtype)
         b = -el.residual_g(zero, sigma_hist_q, eps0_q, G_eff, K_eff)
-        mv = el.make_matvec_g(G_eff, K_eff)
+        if self.use_tables:
+            tbl = el.stencil_table_g(G_eff, K_eff)
+            mv = lambda v: el.matvec_table_g(tbl, v)
+        else:
+            tbl = None
+            mv = el.make_matvec_g(G_eff, K_eff)
         diag = el.jacobian_diag_g(G_eff, K_eff)
-        precond = (self.mg.preconditioner_g(G_eff, K_eff)
+        precond = (self.mg.preconditioner_g(G_eff, K_eff, fine_table=tbl)
                    if self.mg is not None else None)
         # warm start from the previous step's displacement (state.du):
         # the quasi-static solution drifts slowly between steps, and
@@ -210,7 +222,8 @@ class GridMechanicsCoupling:
             x0 = (du_prev if self.grid_shaped
                   else du_prev.reshape(grid + (d,))).astype(b.dtype)
         res = self._pcg(mv, b, x0=x0, diag=diag, precond=precond,
-                        rtol=self.cg_rtol, max_it=self.cg_max_it)
+                        rtol=self.cg_rtol, max_it=self.cg_max_it,
+                        rtol_r0=self.inc_rtol)
         self.last_cg_iters = res.iters
         eps = el.strain_at_nodes(res.x)                   # (*grid, d, d)
         if self.grid_shaped:

@@ -243,17 +243,22 @@ class ThermoViscoProblem:
             mech_rtol = min(self.config.solver.cg_rtol, 1e-8)
             if self.dtype == jnp.float32:
                 mech_rtol = max(mech_rtol, 2e-6)
+            mech_inc = self.config.solver.mech_inc_rtol
+            if mech_inc is None:
+                mech_inc = 1e-2
             if self._grid is not None:
                 try:
                     self._mech = GridMechanicsCoupling(
                         self.fs_sigma, self.engine, dtype=self.dtype,
-                        cg_rtol=mech_rtol, cg_max_it=mech_max_it)
+                        cg_rtol=mech_rtol, cg_max_it=mech_max_it,
+                        inc_rtol=mech_inc)
                 except ValueError:
                     pass
             if self._mech is None:
                 self._mech = MechanicsCoupling(
                     self.fs_T, self.fs_sigma, self.engine, dtype=self.dtype,
-                    cg_rtol=mech_rtol, cg_max_it=mech_max_it)
+                    cg_rtol=mech_rtol, cg_max_it=mech_max_it,
+                    inc_rtol=mech_inc)
         _mark("mechanics")
         self._mg = None
         self._dg_mg = None

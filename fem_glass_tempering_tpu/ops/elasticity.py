@@ -140,10 +140,12 @@ class ElasticityOperator:
 
     # ------------------------------------------------------------------
     def solve_increment(self, sigma_hist_q, eps0_q, G_eff_q, K_eff_q, *,
-                        rtol=1e-10, atol=0.0, max_it=2000, x0=None):
+                        rtol=1e-10, atol=0.0, max_it=2000, x0=None,
+                        rtol_r0=0.0):
         """Solve the linear equilibrium for du. Returns (du (n, d), iters).
         `x0` warm-starts CG (e.g. the previous step's displacement); the
-        convergence test stays relative to ||b||."""
+        convergence test stays relative to ||b||, optionally relaxed by
+        the increment-relative rtol_r0 term (solver/krylov.py pcg)."""
         zero = jnp.zeros((self.n, self.d), dtype=self.dtype)
         b = -self.residual(zero, sigma_hist_q, eps0_q, G_eff_q, K_eff_q)
 
@@ -156,7 +158,8 @@ class ElasticityOperator:
         if x0 is not None:
             x0 = x0.astype(b.dtype)
         res = pcg(matvec, b, x0=x0, diag=diag, rtol=rtol, atol=atol,
-                  max_it=max_it, dot=lambda a, c: jnp.vdot(a, c))
+                  max_it=max_it, dot=lambda a, c: jnp.vdot(a, c),
+                  rtol_r0=rtol_r0)
         return res.x, res.iters
 
     # ------------------------------------------------------------------

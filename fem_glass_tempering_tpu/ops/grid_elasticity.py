@@ -94,6 +94,32 @@ class GridElasticityOperator:
         self.np_qw1 = qw
         self.np_gphi1 = gphi[0]
 
+        # per-quadrature element tensors for the materialized block-stencil
+        # table (stencil_table_g): E(cell)[l,a,m,b] =
+        #   sum_q G_q(cell,q) EGq[q,l,a,m,b] + K_q(cell,q) EKq[q,l,a,m,b]
+        # with EGq = w (delta_ab gp_l.gp_m + gp[m,a] gp[l,b]
+        #              - (2/d) gp[l,a] gp[m,b]) and EKq = w gp[l,a] gp[m,b]
+        # — the exact (l,a)x(m,b) coupling of make_matvec_g's residual
+        # algebra, q-resolved so per-quad-point coefficients stay exact.
+        gp = np.asarray(self.np_gphi1)                    # (q, l, g)
+        w = np.asarray(qw[0])                             # (q,)
+        gg = np.einsum("qlg,qmg->qlm", gp, gp)
+        eye = np.eye(self.d)
+        EKq = np.einsum("q,qla,qmb->qlamb", w, gp, gp)
+        EGq = (np.einsum("qlm,ab->qlamb", np.einsum("q,qlm->qlm", w, gg),
+                         eye)
+               + np.einsum("q,qma,qlb->qlamb", w, gp, gp)
+               - (2.0 / self.d) * EKq)
+        self._EGq = f(EGq)
+        self._EKq = f(EKq)
+        # lattice offsets of the 3^d-point block stencil: offset index
+        # k = sum_i (off_i + 1) * 3^i, off in {-1, 0, 1}^d
+        self._offsets = [tuple(int(o) - 1 for o in idx)
+                         for idx in np.ndindex(*([3] * self.d))]
+        self._offset_index = {off: sum((off[i] + 1) * 3 ** i
+                                       for i in range(self.d))
+                              for off in self._offsets}
+
     # ------------------------------------------------------------------
     def _corner_slice(self, l: int):
         """Static slices addressing corner l of every cell: a (dims)-shaped
@@ -157,6 +183,44 @@ class GridElasticityOperator:
             r = self._scatter(r_cell, vg.shape, vg.dtype)
             return jnp.where(self.pin_mask_g > 0, vg, r)
         return mv
+
+    def stencil_table_g(self, G_q, K_q):
+        """Materialized block-stencil table of the frozen-coefficient
+        operator: B (*grid, 3^d, d, d) with B[n, k] the dxd block coupling
+        node n to node n + offset(k). Built once per solve (64 slice-adds
+        of per-cell blocks), then streamed by matvec_table_g — the same
+        tables-over-recompute trade the heat path measured 13x faster on
+        TPU (BENCH.md constant-row post-mortem). Exactly equal to
+        make_matvec_g's apply (same element algebra, q-resolved
+        coefficients); boundary-absent neighbors hold exact zero blocks."""
+        d = self.d
+        # per-cell (l, a, m, b) element blocks at the given coefficients
+        E = (jnp.einsum("...q,qlamb->...lamb", G_q, self._EGq)
+             + jnp.einsum("...q,qlamb->...lamb", K_q, self._EKq))
+        B = jnp.zeros(self.grid + (3 ** d, d, d), dtype=G_q.dtype)
+        for l in range(self.nloc):
+            sl = self._corner_slice(l)
+            for m in range(self.nloc):
+                off = tuple(self.loffs[m][i] - self.loffs[l][i]
+                            for i in range(d))
+                k = self._offset_index[off]
+                B = B.at[sl + (k,)].add(E[..., l, :, m, :])
+        return B
+
+    def matvec_table_g(self, B, vg):
+        """v -> K v from the materialized block table: 3^d shifted
+        multiply-reduce terms over a zero-padded grid (static pad/slice
+        only — shards like the scalar stencil matvec)."""
+        v0 = jnp.where(self.pin_mask_g > 0, 0.0, vg)
+        vp = jnp.pad(v0, [(1, 1)] * self.d + [(0, 0)])
+        r = None
+        for off in self._offsets:
+            k = self._offset_index[off]
+            sl = tuple(slice(1 + off[i], 1 + off[i] + self.grid[i])
+                       for i in range(self.d))
+            term = (B[..., k, :, :] * vp[sl][..., None, :]).sum(-1)
+            r = term if r is None else r + term
+        return jnp.where(self.pin_mask_g > 0, vg, r)
 
     def jacobian_diag_g(self, G_q, K_q):
         """Exact diagonal of the elastic stiffness, (*grid, d): per-cell

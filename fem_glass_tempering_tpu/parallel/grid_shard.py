@@ -154,9 +154,12 @@ class GridShardedProblem:
                 # below that the extra iterations refine noise (same
                 # floor as the single-device driver, models/problem.py)
                 mech_rtol = max(mech_rtol, 2e-6)
+            mech_inc = getattr(config.solver, "mech_inc_rtol", None)
+            if mech_inc is None:
+                mech_inc = 1e-2
             self.mech = GridMechanicsCoupling(
                 self.fs_sigma, self.engine, dtype=self.dtype,
-                cg_rtol=mech_rtol,
+                cg_rtol=mech_rtol, inc_rtol=mech_inc,
                 pad_axis0=pad, grid_shaped=True)
         self._build_shardings()
         self._build_step()

@@ -250,9 +250,15 @@ class GridElastMG:
     def __init__(self, fine, make_level_op, *, nu_pre: int = 2,
                  nu_post: int = 2, coarse_iters: int = 24,
                  min_level_nodes: int = 27, coarse: str = "auto",
-                 frozen_moduli: tuple | None = None):
+                 frozen_moduli: tuple | None = None,
+                 use_tables: bool = True):
         if coarse not in ("auto", "smooth"):
             raise ValueError(coarse)
+        # materialized per-level block-stencil tables for the cycle
+        # matvecs (ops/grid_elasticity.py stencil_table_g) instead of the
+        # recompute-per-apply cell form — the tables-over-recompute trade
+        # measured on the heat path (BENCH.md constant-row post-mortem)
+        self.use_tables = use_tables
         mesh = fine.fs.mesh
         meta = mesh.structured
         dims = tuple(meta["dims"])
@@ -559,14 +565,24 @@ class GridElastMG:
             v = w / nw
         return rho * 1.1
 
-    def preconditioner_g(self, G_q, K_q):
+    def preconditioner_g(self, G_q, K_q, fine_table=None):
         """Build the V-cycle apply for coefficient fields G_q/K_q
-        ((*dims, q), fine level). Returns r (*grid, d) -> approx A^{-1} r."""
+        ((*dims, q), fine level). Returns r (*grid, d) -> approx A^{-1} r.
+        `fine_table` shares a prebuilt fine-level stencil table with the
+        caller's CG matvec (one build per solve)."""
         matvecs, diags, rhos, zsolves = [], [], [], []
         Gq, Kq = G_q, K_q
         n_levels = len(self.ops)
         for i, op in enumerate(self.ops):
-            mv = op.make_matvec_g(Gq, Kq)
+            if self.use_tables:
+                if i == 0 and fine_table is not None:
+                    tbl = fine_table
+                else:
+                    tbl = op.stencil_table_g(Gq, Kq)
+                mv = (lambda op, tbl: lambda v: op.matvec_table_g(tbl, v)
+                      )(op, tbl)
+            else:
+                mv = op.make_matvec_g(Gq, Kq)
             matvecs.append(mv)
             Gcell = jnp.mean(Gq, axis=-1)
             Kcell = jnp.mean(Kq, axis=-1)

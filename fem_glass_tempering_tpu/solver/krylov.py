@@ -32,7 +32,8 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
         dot: Callable | None = None,
         precond: Callable | None = None,
         replace_every: int = 0,
-        stall_window: int = 0) -> PCGResult:
+        stall_window: int = 0,
+        rtol_r0: float = 0.0) -> PCGResult:
     """`dot` overrides the inner product — inside shard_map regions pass a
     psum-reduced dot so convergence tests are global (the PETSc/MPI
     reduction pattern, SURVEY.md §5 item 2). `precond` is a general SPD
@@ -79,8 +80,23 @@ def pcg(matvec: Callable, b: jnp.ndarray, *, x0: jnp.ndarray | None = None,
     p = z
     rz = dot(r, z)
     bnorm = norm(b)
-    tol = jnp.maximum(rtol * bnorm, atol)
     rnorm0 = norm(r)
+    tol = jnp.maximum(rtol * bnorm, atol)
+    if rtol_r0:
+        # increment-relative test: reduce the residual AT THE WARM START
+        # by rtol_r0 instead of chasing rtol*||b||. For a quasi-static
+        # sequence solved with x0 = previous solution, ||r(x0)|| is the
+        # step-increment scale, so the per-step solve error stays a fixed
+        # fraction of each step's CHANGE (total drift <= rtol_r0 * total
+        # variation) while late steps cost a handful of iterations. The
+        # rtol*||b|| term acts as a floor: never solve TIGHTER than the
+        # fixed-tolerance configuration would. Gated on the warm start
+        # actually being warm (||r0|| well under ||b||): a cold solve's
+        # "change" is the whole solution, and relaxing it would degrade
+        # absolute accuracy — measured as 1.4e-3 spurious stress on a
+        # uniform free contraction whose du solve IS the first step.
+        warm = rnorm0 < 0.3 * bnorm
+        tol = jnp.maximum(tol, jnp.where(warm, rtol_r0 * rnorm0, 0.0))
     use_best = stall_window > 0
 
     def cond(state):

@@ -209,3 +209,39 @@ def test_elast_mg_dense_coarse_cuts_iterations():
     np.testing.assert_allclose(np.asarray(res_dense.x),
                                np.asarray(res_smooth.x),
                                rtol=0.0, atol=1e-8)
+
+
+@pytest.mark.parametrize("pad", [0, 2])
+def test_stencil_table_matvec_matches_cell_form(pad):
+    """The materialized block-stencil table (stencil_table_g +
+    matvec_table_g) is EXACTLY the cell-recompute operator
+    (make_matvec_g), including per-quad-point coefficients, pinned
+    components, and padded ghost planes."""
+    mesh = box_mesh_3d(5, 4, 3, 1.0, 0.8, 0.05)
+    fs = FunctionSpace(mesh, "CG", 1, value_shape=(3, 3))
+    op = GridElasticityOperator(fs, dtype=jnp.float64, pad_axis0=pad)
+    rng = np.random.default_rng(0)
+    q = op.qw1.shape[0]
+    Gq = jnp.asarray(1.0 + rng.random(op.dims + (q,)))
+    Kq = jnp.asarray(2.0 + rng.random(op.dims + (q,)))
+    v = jnp.asarray(rng.standard_normal(op.grid + (3,)))
+    r_cell = op.make_matvec_g(Gq, Kq)(v)
+    B = op.stencil_table_g(Gq, Kq)
+    r_tbl = op.matvec_table_g(B, v)
+    np.testing.assert_allclose(np.asarray(r_tbl), np.asarray(r_cell),
+                               rtol=0.0, atol=1e-12)
+
+
+def test_stencil_table_2d():
+    mesh = box_mesh_2d(6, 4, 1.0, 0.1)
+    fs = FunctionSpace(mesh, "CG", 1, value_shape=(2, 2))
+    op = GridElasticityOperator(fs, dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    q = op.qw1.shape[0]
+    Gq = jnp.asarray(1.0 + rng.random(op.dims + (q,)))
+    Kq = jnp.asarray(2.0 + rng.random(op.dims + (q,)))
+    v = jnp.asarray(rng.standard_normal(op.grid + (2,)))
+    r_cell = op.make_matvec_g(Gq, Kq)(v)
+    r_tbl = op.matvec_table_g(op.stencil_table_g(Gq, Kq), v)
+    np.testing.assert_allclose(np.asarray(r_tbl), np.asarray(r_cell),
+                               rtol=0.0, atol=1e-12)

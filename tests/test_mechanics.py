@@ -215,3 +215,48 @@ def test_mechanics_warm_start_cuts_iterations_and_matches():
     np.testing.assert_allclose(np.asarray(eps_warm), np.asarray(eps_ref),
                                rtol=0.0, atol=1e-12)
     assert du2.shape == (n, 3)
+
+
+def test_mechanics_increment_tolerance_cuts_iterations_bounded_error():
+    """inc_rtol (pcg rtol_r0) relaxes the warm-started solve to a fixed
+    reduction of the residual AT the warm start: far fewer iterations on
+    a near-converged step, with the solve error bounded by inc_rtol
+    times the step's change. Cold solves (x0 residual = ||b||) keep the
+    same relative accuracy."""
+    from fem_glass_tempering_tpu.models.mechanics import GridMechanicsCoupling
+    from fem_glass_tempering_tpu.models.viscoelastic import ViscoelasticEngine
+
+    mesh = box_mesh_3d(8, 8, 4, 1.0, 1.0, 0.01)
+    fs_T = FunctionSpace(mesh, "CG", 1)
+    fs_S = FunctionSpace(mesh, "CG", 1, value_shape=(3, 3))
+    eng = ViscoelasticEngine(fs_T, fs_S, ModelParams(), 0.1,
+                             dtype=jnp.float64)
+    tight = GridMechanicsCoupling(fs_S, eng, dtype=jnp.float64,
+                                  cg_rtol=1e-12, cg_max_it=2000)
+    sched = GridMechanicsCoupling(fs_S, eng, dtype=jnp.float64,
+                                  cg_rtol=1e-12, cg_max_it=2000,
+                                  inc_rtol=1e-2)
+    n = fs_T.n_scalar_dofs
+    state = eng.init_state()
+    rng = np.random.default_rng(7)
+    xi = jnp.asarray(0.05 + 0.01 * rng.random(n))
+    th = jnp.asarray(-5e-5 * (1.0 + 0.3 * rng.random(n)))
+
+    eps1, du1 = tight(state, xi, th)
+    # step 2: small drift, warm start from du1
+    state2 = state._replace(du=du1)
+    xi2, th2 = xi * 1.02, th * 1.01
+    eps_t, _ = tight(state2, xi2, th2)
+    it_t = int(tight.last_cg_iters)
+    eps_s, _ = sched(state2, xi2, th2)
+    it_s = int(sched.last_cg_iters)
+
+    assert it_s < it_t, (it_s, it_t)
+    # error bounded by the step's strain CHANGE (the residual-norm cut
+    # does not map 1:1 onto max-norm strain error, but the error must
+    # stay a fraction of the change and far below the solution scale)
+    change = float(jnp.max(jnp.abs(eps_t - eps1)))
+    err = float(jnp.max(jnp.abs(eps_s - eps_t)))
+    scale = float(jnp.max(jnp.abs(eps_t)))
+    assert err <= 0.5 * change, (err, change)
+    assert err <= 1e-2 * scale, (err, scale)
