@@ -165,6 +165,24 @@ class SolverConfig:
     # This is what lets the late near-equilibrium transient survive at
     # Newton rtol 1e-12 on TPU (BENCH.md noise-floor NaN).
     newton_noise_rel: float | None = None
+    # Increment-relative inexact-Newton forcing for the heat chain
+    # (solver/newton.py inc_forcing): each inner CG runs at the loosest
+    # tolerance whose increment error stays below this fraction of the
+    # incremental acceptance threshold rtol*||T||, with the increment
+    # scale predicted from a once-per-step Jacobi diagonal. Early hard
+    # solves keep full tolerance (the clip floor is cg_rtol); late
+    # near-equilibrium steps stop over-resolving right-hand sides whose
+    # accuracy the incremental test cannot see. None = auto (0.05);
+    # 0.0 = off. Measured at rtol 1e-12: 16x16x8 3D 50-step transient
+    # (CPU f64 MG) 546 -> 113 total CG iterations with a bitwise-
+    # identical final field; the reference 500-step 1D workload
+    # 12,008 -> 5,962 with 1.2e-12 rel drift vs the oracle (within the
+    # acceptance-threshold envelope; the strict chain is 1.2e-14);
+    # the 64x64x16 matched-tolerance TPU run 143 -> 88 CG (BENCH.md).
+    # DG mixed precision is unaffected: its inner tolerance already
+    # sits at the f32 SIPG noise floor (1e-4), which is also the
+    # forcing's never-looser clip floor.
+    newton_inc_forcing: float | None = None
     # Equilibrium-mechanics elasticity solve: increment-relative CG
     # tolerance (pcg rtol_r0, solver/krylov.py). Each step's quasi-static
     # solve warm-starts from the previous displacement, so the residual

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="equilibrium-mechanics increment-relative CG "
                         "tolerance (default auto = 0.01; 0 = off, fixed "
                         "tolerance only)")
+    p.add_argument("--newton-inc-forcing", type=float,
+                   help="heat-chain increment-relative inexact-Newton "
+                        "forcing (default auto = 0.05; 0 = off, every "
+                        "inner CG solves to cg-rtol)")
     p.add_argument("--heat-form", choices=("reference", "physical"),
                    help="'physical' assembles the dimensional rho*cp/k "
                         "equation instead of the reference's "
@@ -161,6 +165,8 @@ def main(argv=None) -> int:
         sc = dataclasses.replace(sc, mg_coarse=args.mg_coarse)
     if args.mech_inc_rtol is not None:
         sc = dataclasses.replace(sc, mech_inc_rtol=args.mech_inc_rtol)
+    if args.newton_inc_forcing is not None:
+        sc = dataclasses.replace(sc, newton_inc_forcing=args.newton_inc_forcing)
     cfg = dataclasses.replace(cfg, solver=sc)
 
     if args.mesh:

@@ -563,6 +563,11 @@ class ThermoViscoProblem:
         if noise_rel is None:
             noise_rel = (64 * 2.0 ** -49) if (
                 mixed and jax.default_backend() == "tpu") else 0.0
+        # increment-relative forcing (SolverConfig.newton_inc_forcing,
+        # solver/newton.py inc_forcing): None = auto 0.05
+        inc_forcing = sc.newton_inc_forcing
+        if inc_forcing is None:
+            inc_forcing = 0.05
 
         def step(state: ViscoState, dt):
             precond_fn = None
@@ -605,23 +610,27 @@ class ThermoViscoProblem:
                 if sc.preconditioner == "jacobi":
                     diag_fn = lambda T: hres.jacobian_diag(T, dt)
             noise_fn = None
-            if noise_rel:
-                # the floor is a magnitude SCALE (64x prefactor, ~1%
-                # accuracy suffices) and barely moves within one step's
-                # Newton iterations — evaluate ONCE per step at T_prev
-                # instead of per Newton iteration, and in the f32 twin
-                # when it exists: the emulated-f64 DG jacobian_diag costs
-                # 19.7 ms per call at 524k dofs (examples/profile_dg.py)
-                # vs ~0.5 ms for the f32 twin.
+            inc_diag = None
+            if noise_rel or inc_forcing:
+                # the per-step Jacobi diagonal feeds the noise floor and
+                # the increment-relative forcing. Both are magnitude
+                # SCALES (~1% accuracy suffices) that barely move within
+                # one step's Newton iterations — evaluate ONCE per step
+                # at T_prev instead of per Newton iteration, and in the
+                # f32 twin when it exists: the emulated-f64 DG
+                # jacobian_diag costs 19.7 ms per call at 524k dofs
+                # (examples/profile_dg.py) vs ~0.5 ms for the f32 twin.
                 if mixed and hres32 is not None:
-                    d32 = (hres32.jacobian_diag(cast(state.T), dt32)
-                           * cast(state.T))
+                    inc_diag = hres32.jacobian_diag(cast(state.T), dt32)
+                    d32 = inc_diag * cast(state.T)
                     floor = (noise_rel * jnp.sqrt(jnp.vdot(d32, d32))
                              ).astype(state.T.dtype)
                 else:
-                    d = hres.jacobian_diag(state.T, dt) * state.T
+                    inc_diag = hres.jacobian_diag(state.T, dt)
+                    d = inc_diag * state.T
                     floor = noise_rel * jnp.sqrt(jnp.vdot(d, d))
-                noise_fn = lambda T: floor
+                if noise_rel:
+                    noise_fn = lambda T: floor
             res = newton_solve(
                 lambda T: hres.residual(T, state.T, dt),
                 state.T,
@@ -643,6 +652,7 @@ class ThermoViscoProblem:
                 # stall tail was ~half the remaining CG work.
                 cg_stall_window=(25 if (mixed and precond_fn is not None)
                                  else None),
+                inc_forcing=inc_forcing, inc_diag=inc_diag,
             )
             new_state = engine.material_step(state, res.x, dt, mech=mech_fn)
             finite = jnp.isfinite(res.x).all()

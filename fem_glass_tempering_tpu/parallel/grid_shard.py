@@ -230,6 +230,13 @@ class GridShardedProblem:
         if noise_rel is None:
             noise_rel = (64 * 2.0 ** -49) if (
                 mixed and jax.default_backend() == "tpu") else 0.0
+        # increment-relative forcing (SolverConfig.newton_inc_forcing,
+        # solver/newton.py inc_forcing): None = auto 0.05. The psum-
+        # reduced dots inside newton_solve keep the prediction global
+        # under sharding.
+        inc_forcing = sc.newton_inc_forcing
+        if inc_forcing is None:
+            inc_forcing = 0.05
 
         def step(state: ViscoState, dt):
             if mixed:
@@ -257,6 +264,14 @@ class GridShardedProblem:
                 def noise_fn(T):
                     d = g.jacobian_diag_g(T, dt) * T
                     return noise_rel * jnp.sqrt(jnp.vdot(d, d))
+            inc_diag = None
+            if inc_forcing:
+                # once-per-step magnitude scale (models/problem.py): the
+                # f32 twin when it exists, else the production operator
+                gd = g32 if (mixed and g32 is not None) else g
+                dtd = dt32 if (mixed and g32 is not None) else dt
+                Td = cast(state.T) if (mixed and g32 is not None) else state.T
+                inc_diag = gd.jacobian_diag_g(Td, dtd)
             res = newton_solve(
                 lambda T: g.residual_g(T, state.T, dt), state.T,
                 jac_diag_fn=diag_fn,
@@ -267,6 +282,7 @@ class GridShardedProblem:
                 max_it=sc.newton_max_it, cg_rtol=cg_rtol_eff,
                 cg_atol=sc.cg_atol, cg_max_it=sc.cg_max_it,
                 cg_cast=f32 if mixed else None,
+                inc_forcing=inc_forcing, inc_diag=inc_diag,
             )
             new_state = engine.material_step_with(state, res.x, ident, dt,
                                                   mech=mech_fn)

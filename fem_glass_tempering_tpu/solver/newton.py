@@ -39,6 +39,8 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
                  cg_accept_rtol: float | None = None,
                  cg_stall_window: int | None = None,
                  mp_floor_inc_rtol: float | None = None,
+                 inc_forcing: float = 0.0,
+                 inc_diag: jnp.ndarray | None = None,
                  noise_fn: Callable | None = None) -> NewtonResult:
     """Solve residual_fn(x) = 0 starting from x0 (the previous step's
     solution, as in the reference where T_current seeds each solve).
@@ -82,6 +84,28 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
     cg_max_it per Newton step. None = auto: 1e-6 (~16 eps32) under
     cg_cast, else off. Distinct from `noise_fn`, which floors on the
     RESIDUAL EVALUATION noise scale before solving.
+
+    `inc_forcing` > 0 is the increment-relative inexact-Newton forcing:
+    each inner solve runs at the LOOSEST relative tolerance whose
+    increment error still stays below inc_forcing x the Newton acceptance
+    threshold (rtol*||x|| + atol). The increment scale is predicted from
+    the Jacobi diagonal (dx_pred = ||F / diag(J)||, available before the
+    solve at one elementwise op), so
+        eta_k = clip(inc_forcing * thr / dx_pred, cg_rtol, 0.5):
+    never tighter than the configured cg_rtol, never so loose the
+    returned dx is meaningless. Early hard solves (dx_pred >> thr) keep
+    full tolerance; near-equilibrium steps — whose increments sit at or
+    below the acceptance threshold the incremental criterion tests
+    against (reference ThermoViscoProblem.py:334-337) — converge in a
+    handful of inner iterations instead of chasing cg_rtol*||b|| on a
+    right-hand side whose resolution the outer test cannot see. The
+    accepted-iterate error is bounded by ~max_it * inc_forcing * thr
+    (each iteration's increment error is <= inc_forcing of the
+    acceptance threshold). The diagonal comes from `inc_diag` (a frozen
+    per-step diagonal — it is a magnitude scale, not an operator, so
+    once per step suffices and callers can reuse the noise-floor
+    diagonal) or else from jac_diag_fn; silently off when neither is
+    given.
 
     `noise_fn(x)` returns an absolute floor for ||F(x)|| below which the
     residual is indistinguishable from evaluation roundoff (e.g. the
@@ -134,17 +158,29 @@ def newton_solve(residual_fn: Callable, x0: jnp.ndarray, *,
 
         diag = jac_diag_fn(x) if jac_diag_fn is not None else None
         precond = precond_fn(x) if precond_fn is not None else None
+        cg_rtol_k = cg_rtol
+        pred_diag = inc_diag if inc_diag is not None else diag
+        if inc_forcing and pred_diag is not None:
+            # increment-relative forcing (docstring above): Jacobi-
+            # predicted increment scale vs the incremental acceptance
+            # threshold. Jacobi UNDERpredicts smooth increments, which
+            # errs in the tighter (safe) direction.
+            dxp = norm(F / pred_diag.astype(F.dtype))
+            thr = rtol * norm(x) + atol
+            tiny = jnp.asarray(jnp.finfo(F.dtype).tiny, F.dtype)
+            cg_rtol_k = jnp.clip(inc_forcing * thr / jnp.maximum(dxp, tiny),
+                                 cg_rtol, 0.5)
         if cg_cast is not None:
             scale = jnp.where((Fn == 0) | at_floor, 1.0, Fn)
             b = (-F / scale).astype(cg_cast)
-            lin = pcg(matvec, b, diag=diag, rtol=cg_rtol, atol=cg_atol,
+            lin = pcg(matvec, b, diag=diag, rtol=cg_rtol_k, atol=cg_atol,
                       max_it=cg_max_it, dot=dot, precond=precond,
                       replace_every=cg_replace_every,
                       stall_window=cg_stall_window)
             dx = lin.x.astype(x.dtype) * scale
             bn = norm(b)
         else:
-            lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol, atol=cg_atol,
+            lin = pcg(matvec, -F, diag=diag, rtol=cg_rtol_k, atol=cg_atol,
                       max_it=cg_max_it, dot=dot, precond=precond,
                       replace_every=cg_replace_every,
                       stall_window=cg_stall_window)
