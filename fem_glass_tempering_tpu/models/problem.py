@@ -541,15 +541,16 @@ class ThermoViscoProblem:
         mg32, dg_mg32 = self._mg32, self._dg_mg32
         f32 = jnp.float32
         # the effective f32 CG tolerance: tighter than ~1e-6 is not
-        # representable in f32 residual norms. For DG/SIPG the attainable
-        # floor is much higher: the penalty terms put ~1e10 of dynamic
-        # range inside each row, so the f32 matvec itself carries ~1e-5
-        # relative error (measured on the 16x16x8 50:1 plate: the TRUE
-        # residual floors at 3e-5 however far the recurrence goes). Ask
-        # f32 CG only for 1e-4 and let the f64 inexact-Newton outer loop
-        # contract at rate eta=1e-4 per iteration — rtol 1e-12 in ~4
-        # Newton iterations instead of an unreachable inner tolerance
-        # that fails every solve.
+        # representable in f32 residual norms. For DG/SIPG the TRUE
+        # attainable floor is higher still — ~eps32 * kappa(A) from the
+        # input-cast loss alone (measured ~1e-2 relative at 64x64x16 with
+        # the SPD vol/area penalty; a jump-form matvec prototype only
+        # improved it 2.3x, so it is not a matvec-formulation artifact).
+        # Ask f32 CG for 1e-4 on the RECURRENCE: the p-MG-preconditioned
+        # solve reaches it in ~3-4 iterations (rho(E)=0.185), the true
+        # residual lands at the floor, and the f64 outer Newton acts as
+        # iterative refinement contracting by ~the floor per iteration —
+        # rtol 1e-12 in ~6-8 Newton x ~3 CG for the hard early steps.
         cg_rtol32 = max(sc.cg_rtol, 1e-4 if heat.is_dg else 1e-6)
 
         # Residual noise floor (solver/newton.py noise_fn): auto-enabled

