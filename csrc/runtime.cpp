@@ -242,6 +242,181 @@ void free_msh_result(MshResult* r) {
 // ---------------------------------------------------------------------
 // Greedy BFS partitioner over facet adjacency: grows n_parts contiguous
 // blocks of (near-)equal size. Alternative to the coordinate-sort
+// ---------------------------------------------------------------------
+// parse_msh2: gmsh 4.1 parser WITH physical groups (cell + facet tags).
+// The reference's mesh read returns (mesh, cell_tags, facet_tags)
+// (dolfinx gmshio.read_from_msh, ThermoViscoProblem.py:27-28; the group
+// is written at geometry.py:23-24). Entity->physical mapping comes from
+// $Entities; facet elements are the (topdim-1)-dimensional elements of
+// the facet shape matching the chosen cell type. Output is identical to
+// the numpy fallback in fem/mesh.py read_msh.
+
+struct MshResult2 {
+  double* nodes;        // (n_nodes, 3)
+  int64_t n_nodes;
+  int32_t* cells;       // (n_cells, nv) gmsh vertex order
+  int64_t n_cells;
+  int32_t etype;        // gmsh element type of the cells
+  int32_t* cell_tags;   // (n_cells,) physical tag, -1 untagged
+  int32_t* facet_verts; // (n_facet_elems, facet_nv) mesh-local node ids
+  int32_t* facet_tags;  // (n_facet_elems,)
+  int64_t n_facet_elems;
+  int32_t facet_nv;
+  int32_t status;       // 0 ok
+};
+
+MshResult2* parse_msh2(const char* path) {
+  auto* res = new MshResult2();
+  memset(res, 0, sizeof(MshResult2));
+  FILE* f = fopen(path, "r");
+  if (!f) { res->status = 2; return res; }
+  char line[1 << 16];
+  std::vector<double> coords;
+  std::vector<int64_t> tags;
+  std::unordered_map<int64_t, int64_t> tag2idx;
+  // supported element types: 1..5 cells + 15 (point); per-type vertex
+  // counts and topological dims
+  static const int nvArr[16]  = {0, 2, 3, 4, 4, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1};
+  static const int dimArr[16] = {0, 1, 2, 2, 3, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+  std::vector<std::vector<int32_t>> verts_by_type(16);
+  std::vector<std::vector<int32_t>> ptags_by_type(16);
+  // (dim, entityTag) -> physical tag
+  std::unordered_map<int64_t, int32_t> entphys;
+  auto entkey = [](int64_t dim, int64_t etag) {
+    return dim * 1000000007LL + etag;
+  };
+
+  while (fgets(line, sizeof line, f)) {
+    if (strncmp(line, "$Entities", 9) == 0) {
+      int64_t counts[4];
+      if (fscanf(f, "%ld %ld %ld %ld", &counts[0], &counts[1], &counts[2],
+                 &counts[3]) != 4) { res->status = 6; fclose(f); return res; }
+      for (int dim = 0; dim < 4; ++dim) {
+        for (int64_t e = 0; e < counts[dim]; ++e) {
+          int64_t etag, nphys;
+          double dummy;
+          if (fscanf(f, "%ld", &etag) != 1) { res->status = 6; fclose(f); return res; }
+          int ncoord = dim == 0 ? 3 : 6;
+          for (int k = 0; k < ncoord; ++k)
+            if (fscanf(f, "%lf", &dummy) != 1) { res->status = 6; fclose(f); return res; }
+          if (fscanf(f, "%ld", &nphys) != 1) { res->status = 6; fclose(f); return res; }
+          for (int64_t k = 0; k < nphys; ++k) {
+            int64_t p;
+            if (fscanf(f, "%ld", &p) != 1) { res->status = 6; fclose(f); return res; }
+            if (k == 0) entphys[entkey(dim, etag)] = static_cast<int32_t>(p);
+          }
+          if (dim > 0) {
+            int64_t nbnd;
+            if (fscanf(f, "%ld", &nbnd) != 1) { res->status = 6; fclose(f); return res; }
+            for (int64_t k = 0; k < nbnd; ++k) {
+              int64_t b;
+              if (fscanf(f, "%ld", &b) != 1) { res->status = 6; fclose(f); return res; }
+            }
+          }
+        }
+      }
+    } else if (strncmp(line, "$Nodes", 6) == 0) {
+      int64_t nblocks, nnodes, mn, mx;
+      if (fscanf(f, "%ld %ld %ld %ld", &nblocks, &nnodes, &mn, &mx) != 4) {
+        res->status = 3; fclose(f); return res;
+      }
+      coords.reserve(nnodes * 3);
+      tags.reserve(nnodes);
+      for (int64_t b = 0; b < nblocks; ++b) {
+        int64_t dim, etag, param, n;
+        if (fscanf(f, "%ld %ld %ld %ld", &dim, &etag, &param, &n) != 4) {
+          res->status = 3; fclose(f); return res;
+        }
+        int64_t base = static_cast<int64_t>(tags.size());
+        for (int64_t i = 0; i < n; ++i) {
+          int64_t t; if (fscanf(f, "%ld", &t) != 1) { res->status = 3; fclose(f); return res; }
+          tags.push_back(t);
+          tag2idx[t] = base + i;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+          double x, y, z;
+          if (fscanf(f, "%lf %lf %lf", &x, &y, &z) != 3) { res->status = 3; fclose(f); return res; }
+          coords.push_back(x); coords.push_back(y); coords.push_back(z);
+        }
+      }
+    } else if (strncmp(line, "$Elements", 9) == 0) {
+      int64_t nblocks, nelems, mn, mx;
+      if (fscanf(f, "%ld %ld %ld %ld", &nblocks, &nelems, &mn, &mx) != 4) {
+        res->status = 4; fclose(f); return res;
+      }
+      for (int64_t b = 0; b < nblocks; ++b) {
+        int64_t dim, etag, etype, n;
+        if (fscanf(f, "%ld %ld %ld %ld", &dim, &etag, &etype, &n) != 4) {
+          res->status = 4; fclose(f); return res;
+        }
+        auto it = entphys.find(entkey(dim, etag));
+        int32_t phys = it == entphys.end() ? -1 : it->second;
+        bool keep = (etype >= 1 && etype <= 5) || etype == 15;
+        for (int64_t i = 0; i < n; ++i) {
+          int64_t t; if (fscanf(f, "%ld", &t) != 1) { res->status = 4; fclose(f); return res; }
+          if (keep) {
+            for (int k = 0; k < nvArr[etype]; ++k) {
+              int64_t vt; if (fscanf(f, "%ld", &vt) != 1) { res->status = 4; fclose(f); return res; }
+              verts_by_type[etype].push_back(
+                  static_cast<int32_t>(tag2idx[vt]));
+            }
+            ptags_by_type[etype].push_back(phys);
+          } else {
+            if (!fgets(line, sizeof line, f)) break;
+          }
+        }
+      }
+    }
+  }
+  fclose(f);
+
+  int best = 0;
+  for (int t = 1; t <= 5; ++t)
+    if (!verts_by_type[t].empty() && (best == 0 || dimArr[t] > dimArr[best]))
+      best = t;
+  if (best == 0) { res->status = 5; return res; }
+
+  res->n_nodes = static_cast<int64_t>(tags.size());
+  res->nodes = static_cast<double*>(malloc(sizeof(double) * coords.size()));
+  memcpy(res->nodes, coords.data(), sizeof(double) * coords.size());
+  res->etype = best;
+  res->n_cells = static_cast<int64_t>(ptags_by_type[best].size());
+  res->cells = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * verts_by_type[best].size()));
+  memcpy(res->cells, verts_by_type[best].data(),
+         sizeof(int32_t) * verts_by_type[best].size());
+  res->cell_tags = static_cast<int32_t*>(
+      malloc(sizeof(int32_t) * res->n_cells));
+  memcpy(res->cell_tags, ptags_by_type[best].data(),
+         sizeof(int32_t) * res->n_cells);
+  // facet elements: the facet shape of the chosen cell type
+  static const int facetType[6] = {0, 15, 1, 1, 2, 3};
+  int ft = facetType[best];
+  res->facet_nv = nvArr[ft];
+  res->n_facet_elems = static_cast<int64_t>(ptags_by_type[ft].size());
+  if (res->n_facet_elems > 0) {
+    res->facet_verts = static_cast<int32_t*>(
+        malloc(sizeof(int32_t) * verts_by_type[ft].size()));
+    memcpy(res->facet_verts, verts_by_type[ft].data(),
+           sizeof(int32_t) * verts_by_type[ft].size());
+    res->facet_tags = static_cast<int32_t*>(
+        malloc(sizeof(int32_t) * res->n_facet_elems));
+    memcpy(res->facet_tags, ptags_by_type[ft].data(),
+           sizeof(int32_t) * res->n_facet_elems);
+  }
+  return res;
+}
+
+void free_msh_result2(MshResult2* r) {
+  if (!r) return;
+  free(r->nodes);
+  free(r->cells);
+  free(r->cell_tags);
+  free(r->facet_verts);
+  free(r->facet_tags);
+  delete r;
+}
+
 // partitioner for unstructured meshes.
 // ---------------------------------------------------------------------
 

@@ -144,14 +144,21 @@ class FunctionSpace:
             out.append(np.nonzero(on)[0].astype(np.int32))
         return out
 
-    def boundary_scalar_dofs(self, marker=None) -> np.ndarray:
+    def boundary_scalar_dofs(self, marker=None,
+                             facet_mask=None) -> np.ndarray:
         """Scalar dofs lying on the mesh boundary; optional coordinate marker
-        predicate marker(x: (n, gdim)) -> bool mask. This is the working
+        predicate marker(x: (n, gdim)) -> bool mask, and/or a bool
+        `facet_mask` over the boundary-facet enumeration (e.g. from
+        Mesh.boundary_facets_with_tag — the dolfinx
+        locate_dofs_topological-by-meshtag pattern). This is the working
         replacement for the reference's broken Dirichlet path
         (ThermoViscoProblem.py:236-243, SURVEY.md §Quirks 3)."""
         facet_pts = self.facet_lattice_points()
         dofs = set()
-        for c, lf in zip(self.mesh.boundary_cell, self.mesh.boundary_local_facet):
+        for k, (c, lf) in enumerate(zip(self.mesh.boundary_cell,
+                                        self.mesh.boundary_local_facet)):
+            if facet_mask is not None and not facet_mask[k]:
+                continue
             for lp in facet_pts[lf]:
                 dofs.add(int(self.dofmap[c, lp]))
         dofs = np.array(sorted(dofs), dtype=np.int32)

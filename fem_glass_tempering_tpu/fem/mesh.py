@@ -55,6 +55,15 @@ class Mesh:
     # geometric-multigrid coarsening. {'dims': (...), 'lengths': (...),
     # 'origin': (...)} or None for unstructured meshes.
     structured: dict = field(default=None, compare=False)
+    # gmsh physical groups (dolfinx's cell_tags/facet_tags,
+    # reference ThermoViscoProblem.py:27-28, written at geometry.py:23-24):
+    # per-cell physical tag (-1 = untagged) and per-boundary/interior-facet
+    # tags aligned with the facet enumeration above. physical_names maps
+    # group name -> (dim, tag) as declared in $PhysicalNames.
+    cell_tags: np.ndarray = field(default=None, compare=False)
+    boundary_facet_tags: np.ndarray = field(default=None, compare=False)
+    interior_facet_tags: np.ndarray = field(default=None, compare=False)
+    physical_names: dict = field(default=None, compare=False)
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=np.float64)
@@ -96,6 +105,57 @@ class Mesh:
     def cell_vertex_coords(self) -> np.ndarray:
         """(n_cells, n_vertices, gdim)"""
         return self.nodes[self.cells]
+
+    # ------------------------------------------------------------------
+    def _resolve_tag(self, tag) -> int:
+        """Accept an int physical tag or a $PhysicalNames group name."""
+        if isinstance(tag, str):
+            if not self.physical_names or tag not in self.physical_names:
+                raise KeyError(f"no physical group named {tag!r}")
+            return int(self.physical_names[tag][1])
+        return int(tag)
+
+    def cells_with_tag(self, tag) -> np.ndarray:
+        """Bool mask (n_cells,) of cells in the physical group `tag`
+        (int or group name) — dolfinx cell_tags.find() equivalent."""
+        if self.cell_tags is None:
+            raise ValueError("mesh carries no cell tags")
+        return self.cell_tags == self._resolve_tag(tag)
+
+    def boundary_facets_with_tag(self, tag) -> np.ndarray:
+        """Bool mask (n_boundary_facets,) over the boundary-facet
+        enumeration — dolfinx facet_tags.find() equivalent, directly usable
+        as a flux/BC facet selector."""
+        if self.boundary_facet_tags is None:
+            raise ValueError("mesh carries no facet tags")
+        return self.boundary_facet_tags == self._resolve_tag(tag)
+
+    def attach_facet_tags(self, facet_verts: list, facet_tags: np.ndarray
+                          ) -> None:
+        """Map raw tagged facet elements (vertex lists in mesh-local node
+        indices) onto the boundary/interior facet enumerations."""
+        nb, ni = self.n_boundary_facets, self.n_interior_facets
+        b_tags = np.full(nb, -1, dtype=np.int32)
+        i_tags = np.full(ni, -1, dtype=np.int32)
+        key_b: dict[tuple, int] = {}
+        rc = self.ref_cell
+        for k, (c, lf) in enumerate(zip(self.boundary_cell,
+                                        self.boundary_local_facet)):
+            key = tuple(sorted(self.cells[c][list(rc.facets[lf])]))
+            key_b[key] = k
+        key_i: dict[tuple, int] = {}
+        for k, (c, lf) in enumerate(zip(self.interior_cell_p,
+                                        self.interior_local_facet_p)):
+            key = tuple(sorted(self.cells[c][list(rc.facets[lf])]))
+            key_i[key] = k
+        for verts, t in zip(facet_verts, facet_tags):
+            key = tuple(sorted(int(v) for v in verts))
+            if key in key_b:
+                b_tags[key_b[key]] = t
+            elif key in key_i:
+                i_tags[key_i[key]] = t
+        self.boundary_facet_tags = b_tags
+        self.interior_facet_tags = i_tags
 
     def cell_diameters(self) -> np.ndarray:
         """Max vertex-to-vertex distance per cell (dolfinx CellDiameter
@@ -291,25 +351,43 @@ def box_mesh_3d(nx: int, ny: int, nz: int, lx: float = 1.0, ly: float = 1.0,
 # gmsh 4.1 ASCII reader
 # ======================================================================
 
+_ETYPE_NAME = {1: "interval", 2: "triangle", 3: "quad", 4: "tet", 5: "hex"}
+# gmsh element type -> (topological dim, n vertices); 15 = point
+_ETYPE_DIM_NV = {15: (0, 1), 1: (1, 2), 2: (2, 3), 3: (2, 4), 4: (3, 4),
+                 5: (3, 8)}
+
+
 def read_msh(path: str, gdim: int | None = None) -> Mesh:
-    """Minimal gmsh 4.1 ASCII `.msh` reader: nodes + highest-dimension cells.
+    """gmsh 4.1 ASCII `.msh` reader: nodes + highest-dimension cells +
+    physical groups (cell/facet tags + $PhysicalNames).
 
-    Parity affordance for the reference's mesh workflow
-    (gmshio.read_from_msh, ThermoViscoProblem.py:27-28). A native C++
-    fast-path lives in csrc/ (runtime.cpp) with this as fallback.
+    Parity affordance for the reference's mesh workflow — dolfinx's
+    `gmshio.read_from_msh` returns `(mesh, cell_tags, facet_tags)`
+    (ThermoViscoProblem.py:27-28; the group is written at
+    geometry.py:23-24); here the tags live ON the Mesh (`cell_tags`,
+    `boundary_facet_tags`, `physical_names`, `cells_with_tag`,
+    `boundary_facets_with_tag`). A native C++ fast-path lives in csrc/
+    (runtime.cpp parse_msh2) with this as fallback; both emit identical
+    arrays.
     """
-    from fem_glass_tempering_tpu.utils.native import native_parse_msh
+    from fem_glass_tempering_tpu.utils.native import native_parse_msh2
 
-    _ETYPE_NAME = {1: "interval", 2: "triangle", 3: "quad", 4: "tet", 5: "hex"}
-    nat = native_parse_msh(path)
+    names = _read_physical_names(path)
+    nat = native_parse_msh2(path)
     if nat is not None:
-        coords, raw_cells, etype = nat
+        coords, raw_cells, etype, cell_tags, f_verts, f_tags = nat
         name = _ETYPE_NAME[etype]
         perm = _GMSH_PERM[name]
         cells = raw_cells[:, perm].astype(np.int32)
         tdim = get_cell(name).tdim
         g = gdim if gdim is not None else tdim
-        return Mesh(name, coords[:, :g], cells)
+        m = Mesh(name, coords[:, :g], cells)
+        if cell_tags is not None and (cell_tags >= 0).any():
+            m.cell_tags = cell_tags
+        if f_verts is not None and len(f_verts):
+            m.attach_facet_tags(list(f_verts), f_tags)
+        m.physical_names = names
+        return m
 
     with open(path) as f:
         lines = f.read().splitlines()
@@ -323,10 +401,38 @@ def read_msh(path: str, gdim: int | None = None) -> Mesh:
             raise ValueError(f"section {name} not found in {path}")
         i += 1
 
+    def optional_section(name):
+        nonlocal i
+        i = 0
+        while i < len(lines) and lines[i].strip() != f"${name}":
+            i += 1
+        if i == len(lines):
+            return False
+        i += 1
+        return True
+
     section("MeshFormat")
     version = lines[i].split()[0]
     if not version.startswith("4"):
         raise ValueError(f"only msh 4.x supported, got {version}")
+
+    # entity (dim, tag) -> physical tag (first listed), from $Entities
+    ent_phys: dict[tuple, int] = {}
+    if optional_section("Entities"):
+        counts = [int(v) for v in lines[i].split()]
+        i += 1
+        for dim, n_ent in enumerate(counts):
+            for _ in range(n_ent):
+                parts = lines[i].split()
+                i += 1
+                etag = int(parts[0])
+                # points: tag x y z nPhys phys...; higher dims: tag + 6
+                # bbox floats + nPhys phys... (+ bounding entities)
+                off = 4 if dim == 0 else 7
+                n_phys = int(parts[off])
+                if n_phys > 0:
+                    ent_phys[(dim, etag)] = int(parts[off + 1])
+
     i = 0
     section("Nodes")
     header = lines[i].split()
@@ -351,16 +457,28 @@ def read_msh(path: str, gdim: int | None = None) -> Mesh:
     num_blocks = int(header[0])
     i += 1
     cells_by_type: dict[str, list] = {}
+    tags_by_type: dict[str, list] = {}
+    elems_by_dim: dict[int, list] = {}   # dim -> [(verts, phys_tag)]
     for _ in range(num_blocks):
-        _, _, etype, n_in_block = (int(v) for v in lines[i].split())
+        edim, etag, etype, n_in_block = (int(v) for v in lines[i].split())
         i += 1
+        phys = ent_phys.get((edim, etag), -1)
         if etype in _GMSH_CELLS:
             name, nv = _GMSH_CELLS[etype]
             perm = _GMSH_PERM[name]
             for k in range(n_in_block):
                 parts = [int(v) for v in lines[i + k].split()]
                 verts = [tag_to_idx[t] for t in parts[1 : 1 + nv]]
-                cells_by_type.setdefault(name, []).append([verts[p] for p in perm])
+                cells_by_type.setdefault(name, []).append(
+                    [verts[p] for p in perm])
+                tags_by_type.setdefault(name, []).append(phys)
+                elems_by_dim.setdefault(edim, []).append((verts, phys))
+        elif etype in _ETYPE_DIM_NV:
+            _, nv = _ETYPE_DIM_NV[etype]
+            for k in range(n_in_block):
+                parts = [int(v) for v in lines[i + k].split()]
+                verts = [tag_to_idx[t] for t in parts[1 : 1 + nv]]
+                elems_by_dim.setdefault(edim, []).append((verts, phys))
         i += n_in_block
 
     if not cells_by_type:
@@ -371,4 +489,41 @@ def read_msh(path: str, gdim: int | None = None) -> Mesh:
     cells = np.asarray(cells_by_type[name], dtype=np.int32)
     tdim = get_cell(name).tdim
     g = gdim if gdim is not None else tdim
-    return Mesh(name, coords[:, :g], cells)
+    m = Mesh(name, coords[:, :g], cells)
+    ct = np.asarray(tags_by_type[name], dtype=np.int32)
+    if (ct >= 0).any():
+        m.cell_tags = ct
+    facet_elems = elems_by_dim.get(tdim - 1, [])
+    tagged = [(v, t) for v, t in facet_elems if t >= 0]
+    if tagged:
+        m.attach_facet_tags([v for v, _ in tagged],
+                            np.asarray([t for _, t in tagged],
+                                       dtype=np.int32))
+    m.physical_names = names
+    return m
+
+
+def _read_physical_names(path: str) -> dict:
+    """Parse $PhysicalNames -> {name: (dim, tag)} (small section; shared by
+    the native and numpy paths)."""
+    names: dict[str, tuple] = {}
+    with open(path) as f:
+        in_sec = False
+        first = True
+        for line in f:
+            s = line.strip()
+            if s == "$PhysicalNames":
+                in_sec = True
+                first = True
+                continue
+            if s == "$EndPhysicalNames":
+                break
+            if in_sec:
+                if first:
+                    first = False
+                    continue
+                parts = s.split(maxsplit=2)
+                if len(parts) == 3:
+                    names[parts[2].strip('"')] = (int(parts[0]),
+                                                  int(parts[1]))
+    return names

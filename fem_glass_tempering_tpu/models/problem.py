@@ -148,7 +148,7 @@ class ThermoViscoProblem:
 
     # ------------------------------------------------------------------
     def setup(self, dirichlet_bc: bool = False, output_dir: str | None = None,
-              flux_marker=None) -> None:
+              flux_marker=None, flux_tag=None, dirichlet_tag=None) -> None:
         """Initial conditions + solver + (optional) output writers.
 
         Mirrors reference setup() (ThermoViscoProblem.py:176-184); the
@@ -156,7 +156,20 @@ class ThermoViscoProblem:
         `flux_marker(midpoints) -> bool mask` restricts the radiation +
         convection flux to selected boundary facets (insulated elsewhere) —
         e.g. only the large faces of a plate.
+
+        `flux_tag` / `dirichlet_tag` select facets by gmsh physical group
+        (int tag or $PhysicalNames name) from a tagged mesh — the dolfinx
+        meshtag-driven BC pattern (the reference reads facet_tags at
+        ThermoViscoProblem.py:27-28 and locates BCs at :236-243). The mesh
+        must carry facet tags (read_msh on a tagged .msh).
+        `dirichlet_tag` implies a Dirichlet BC at T_ambient on exactly the
+        tagged facets.
         """
+        if flux_tag is not None:
+            if flux_marker is not None:
+                raise ValueError("pass flux_marker or flux_tag, not both")
+            _fmask = self.mesh.boundary_facets_with_tag(flux_tag)
+            flux_marker = lambda mids, _m=_fmask: _m  # noqa: E731
         import os as _os
         import sys as _sys
         _timing = _os.environ.get("FGT_SETUP_TIMING") == "1"
@@ -185,7 +198,12 @@ class ThermoViscoProblem:
             sc = dataclasses.replace(sc, preconditioner=resolved)
             self.config = dataclasses.replace(self.config, solver=sc)
         bc_dofs = bc_val = None
-        if dirichlet_bc:
+        if dirichlet_tag is not None:
+            bc_dofs = self.fs_T.boundary_scalar_dofs(
+                facet_mask=self.mesh.boundary_facets_with_tag(dirichlet_tag))
+            bc_val = self.params.T_ambient
+            dirichlet_bc = True
+        elif dirichlet_bc:
             bc_dofs = self.fs_T.boundary_scalar_dofs()
             bc_val = self.params.T_ambient
         heat_form = getattr(self.config, "heat_form", "reference")

@@ -66,6 +66,7 @@ class InteriorFacetGeometry:
     grad_m: np.ndarray
     normal_p: np.ndarray      # (f, q, g) outward from '+' cell
     h_p: np.ndarray           # (f,) SIPG penalty length: vol(K+)/area(F)
+    qpoints_phys: np.ndarray  # (f, q, g) physical quadrature points
 
 
 # ======================================================================
@@ -302,6 +303,7 @@ def build_interior_geometry(mesh: Mesh, fs: FunctionSpace,
             phi_p=z((0, q, l)), phi_m=z((0, q, l)),
             grad_p=z((0, q, l, g)), grad_m=z((0, q, l, g)),
             normal_p=z((0, q, g)), h_p=z((0,)),
+            qpoints_phys=z((0, q, g)),
         )
     # uniform-box fast path: every interior facet with the same
     # (local_facet_p, local_facet_m) pair is congruent (translation
@@ -354,8 +356,17 @@ def build_interior_geometry(mesh: Mesh, fs: FunctionSpace,
     # iterations to 1e-10).
     area_f = w.sum(axis=1)
     h_p = cell_volumes(mesh)[cp] / np.maximum(area_f, 1e-300)
+    # physical facet quadrature points for ALL facets (the sel fast path
+    # above broadcasts only the translation-invariant tables; coordinates
+    # are per-facet). gv depends on the local facet index only.
+    gv_lf = np.stack([
+        geom.tabulate(xi_all[lf].reshape(-1, xi_all.shape[-1]))
+        for lf in range(rc.n_facets)
+    ])                                                # (n_lf, q, nverts)
+    xq_full = np.einsum("fqv,fvg->fqg", gv_lf[lp],
+                        mesh.nodes[mesh.cells[cp]])
     return InteriorFacetGeometry(
         cell_p=cp, cell_m=cm, qweights=w,
         phi_p=phi_p, phi_m=phi_m, grad_p=grad_p, grad_m=grad_m,
-        normal_p=n_p, h_p=h_p,
+        normal_p=n_p, h_p=h_p, qpoints_phys=xq_full,
     )

@@ -30,7 +30,19 @@ from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
 from fem_glass_tempering_tpu.ops.assembly import (
     build_boundary_geometry,
     build_cell_geometry,
+    build_interior_geometry,
 )
+
+
+def jump(u_p, u_m):
+    """UFL jump([[u]]) across an interior facet, '+' minus '-' side
+    (reference ThermoViscoProblem.py:318-325 uses jump(T, n))."""
+    return u_p - u_m
+
+
+def avg(u_p, u_m):
+    """UFL avg({u}) across an interior facet."""
+    return 0.5 * (u_p + u_m)
 
 
 class ScalarResidualForm:
@@ -42,12 +54,33 @@ class ScalarResidualForm:
       boundary_flux c(u, x, n) -> (...,)              [multiplies v on ds]
     Each may be None. Extra per-call parameters can be closed over or passed
     via `params` (a pytree forwarded to every callable as keyword `p`).
+
+    Interior-facet (dS) terms — the UFL jump/avg/FacetNormal surface the
+    reference uses for its SIPG DG form (ThermoViscoProblem.py:308-326):
+
+      interior_flux d(u_p, u_m, dn_u_p, dn_u_m, x, n, h)
+                    -> (a_p, a_m, b_p, b_m), each (f, q)
+
+    where u_p/u_m are the '+'/'-' side traces, dn_u_* = grad(u_*) . n with
+    n the '+'-outward unit facet normal for BOTH sides, x the physical
+    facet quadrature points (f, q, g), and h (f,) the anisotropy-robust
+    penalty length vol(K+)/area(F) (== CellDiameter in 1D). The residual
+    contribution is
+
+      r_p += sum_q w [ a_p * v_p + b_p * dn_v_p ]
+      r_m += sum_q w [ a_m * v_m + b_m * dn_v_m ]
+
+    which spans every linear-in-v interior-facet form: SIPG, upwind DG
+    fluxes, Nitsche couplings. Use the module-level `jump`/`avg` helpers
+    for UFL-parity spelling; tests/test_forms.py reproduces HeatOperator's
+    SIPG residual to machine precision through this surface.
     """
 
     def __init__(self, fs: FunctionSpace,
                  cell_source: Callable | None = None,
                  cell_flux: Callable | None = None,
                  boundary_flux: Callable | None = None,
+                 interior_flux: Callable | None = None,
                  quad_degree: int | None = None,
                  dtype=jnp.float64,
                  bc_dofs: np.ndarray | None = None,
@@ -56,6 +89,7 @@ class ScalarResidualForm:
         self.cell_source = cell_source
         self.cell_flux = cell_flux
         self.boundary_flux = boundary_flux
+        self.interior_flux = interior_flux
         self.n_dofs = fs.n_scalar_dofs
         cg = build_cell_geometry(fs.mesh, fs, quad_degree)
         bg = build_boundary_geometry(fs.mesh, fs, quad_degree)
@@ -71,6 +105,18 @@ class ScalarResidualForm:
         self.b_phi = f(bg.phi)
         self.b_xq = f(bg.qpoints_phys)
         self.b_n = f(bg.normal)
+        if interior_flux is not None:
+            ig = build_interior_geometry(fs.mesh, fs, quad_degree)
+            self.i_dofmap_p = i(fs.dofmap[ig.cell_p])
+            self.i_dofmap_m = i(fs.dofmap[ig.cell_m])
+            self.i_qw = f(ig.qweights)
+            self.i_phi_p = f(ig.phi_p)
+            self.i_phi_m = f(ig.phi_m)
+            self.i_dn_p = f(np.einsum("fqlg,fqg->fql", ig.grad_p, ig.normal_p))
+            self.i_dn_m = f(np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p))
+            self.i_n = f(ig.normal_p)
+            self.i_h = f(ig.h_p)
+            self.i_xq = f(ig.qpoints_phys)
         mask = np.zeros(self.n_dofs, dtype=bool)
         vals = np.zeros(self.n_dofs)
         if bc_dofs is not None and len(bc_dofs):
@@ -104,6 +150,19 @@ class ScalarResidualForm:
             c = self.boundary_flux(ub, self.b_xq, self.b_n, **params)
             r_b = jnp.einsum("fq,fql->fl", self.b_qw * c, self.b_phi)
             r = r + self._scatter(r_b, self.b_dofmap)
+        if self.interior_flux is not None and self.i_dofmap_p.shape[0]:
+            up = jnp.einsum("fql,fl->fq", self.i_phi_p, u[self.i_dofmap_p])
+            um = jnp.einsum("fql,fl->fq", self.i_phi_m, u[self.i_dofmap_m])
+            dup = jnp.einsum("fql,fl->fq", self.i_dn_p, u[self.i_dofmap_p])
+            dum = jnp.einsum("fql,fl->fq", self.i_dn_m, u[self.i_dofmap_m])
+            a_p, a_m, b_p, b_m = self.interior_flux(
+                up, um, dup, dum, self.i_xq, self.i_n, self.i_h, **params)
+            r_p = jnp.einsum("fq,fql->fl", self.i_qw * a_p, self.i_phi_p) \
+                + jnp.einsum("fq,fql->fl", self.i_qw * b_p, self.i_dn_p)
+            r_m = jnp.einsum("fq,fql->fl", self.i_qw * a_m, self.i_phi_m) \
+                + jnp.einsum("fq,fql->fl", self.i_qw * b_m, self.i_dn_m)
+            r = r + self._scatter(r_p, self.i_dofmap_p)
+            r = r + self._scatter(r_m, self.i_dofmap_m)
         return r
 
     def residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:
@@ -139,6 +198,7 @@ class VectorResidualForm:
                  cell_source: Callable | None = None,
                  cell_flux: Callable | None = None,
                  boundary_flux: Callable | None = None,
+                 interior_flux: Callable | None = None,
                  quad_degree: int | None = None,
                  dtype=jnp.float64,
                  pin_mask: np.ndarray | None = None,
@@ -148,6 +208,10 @@ class VectorResidualForm:
         self.cell_source = cell_source
         self.cell_flux = cell_flux
         self.boundary_flux = boundary_flux
+        # interior_flux d(u_p, u_m, dn_u_p, dn_u_m, x, n, h, **p)
+        #   -> (a_p, a_m, b_p, b_m), each (f, q, *V); same contract as
+        # ScalarResidualForm.interior_flux with vector/tensor coefficients
+        self.interior_flux = interior_flux
         self.n_dofs = fs.n_scalar_dofs
         cg = build_cell_geometry(fs.mesh, fs, quad_degree)
         bg = build_boundary_geometry(fs.mesh, fs, quad_degree)
@@ -163,6 +227,18 @@ class VectorResidualForm:
         self.b_phi = f(bg.phi)
         self.b_xq = f(bg.qpoints_phys)
         self.b_n = f(bg.normal)
+        if interior_flux is not None:
+            ig = build_interior_geometry(fs.mesh, fs, quad_degree)
+            self.i_dofmap_p = i(fs.dofmap[ig.cell_p])
+            self.i_dofmap_m = i(fs.dofmap[ig.cell_m])
+            self.i_qw = f(ig.qweights)
+            self.i_phi_p = f(ig.phi_p)
+            self.i_phi_m = f(ig.phi_m)
+            self.i_dn_p = f(np.einsum("fqlg,fqg->fql", ig.grad_p, ig.normal_p))
+            self.i_dn_m = f(np.einsum("fqlg,fqg->fql", ig.grad_m, ig.normal_p))
+            self.i_n = f(ig.normal_p)
+            self.i_h = f(ig.h_p)
+            self.i_xq = f(ig.qpoints_phys)
         self.has_pins = pin_mask is not None
         if self.has_pins:
             self.pin_mask = f(np.broadcast_to(
@@ -196,6 +272,27 @@ class VectorResidualForm:
             c = self.boundary_flux(ub, self.b_xq, self.b_n, **params)
             r_b = jnp.einsum("fq,fq...,fql->fl...", self.b_qw, c, self.b_phi)
             r = r + self._scatter(r_b, self.b_dofmap)
+        if self.interior_flux is not None and self.i_dofmap_p.shape[0]:
+            up = jnp.einsum("fql,fl...->fq...", self.i_phi_p,
+                            u[self.i_dofmap_p])
+            um = jnp.einsum("fql,fl...->fq...", self.i_phi_m,
+                            u[self.i_dofmap_m])
+            dup = jnp.einsum("fql,fl...->fq...", self.i_dn_p,
+                             u[self.i_dofmap_p])
+            dum = jnp.einsum("fql,fl...->fq...", self.i_dn_m,
+                             u[self.i_dofmap_m])
+            a_p, a_m, b_p, b_m = self.interior_flux(
+                up, um, dup, dum, self.i_xq, self.i_n, self.i_h, **params)
+            r_p = jnp.einsum("fq,fq...,fql->fl...",
+                             self.i_qw, a_p, self.i_phi_p) \
+                + jnp.einsum("fq,fq...,fql->fl...",
+                             self.i_qw, b_p, self.i_dn_p)
+            r_m = jnp.einsum("fq,fq...,fql->fl...",
+                             self.i_qw, a_m, self.i_phi_m) \
+                + jnp.einsum("fq,fq...,fql->fl...",
+                             self.i_qw, b_m, self.i_dn_m)
+            r = r + self._scatter(r_p, self.i_dofmap_p)
+            r = r + self._scatter(r_m, self.i_dofmap_m)
         return r
 
     def residual(self, u: jnp.ndarray, **params) -> jnp.ndarray:

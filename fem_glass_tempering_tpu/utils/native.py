@@ -48,6 +48,22 @@ class _MshResult(ctypes.Structure):
     ]
 
 
+class _MshResult2(ctypes.Structure):
+    _fields_ = [
+        ("nodes", ctypes.POINTER(ctypes.c_double)),
+        ("n_nodes", ctypes.c_int64),
+        ("cells", ctypes.POINTER(ctypes.c_int32)),
+        ("n_cells", ctypes.c_int64),
+        ("etype", ctypes.c_int32),
+        ("cell_tags", ctypes.POINTER(ctypes.c_int32)),
+        ("facet_verts", ctypes.POINTER(ctypes.c_int32)),
+        ("facet_tags", ctypes.POINTER(ctypes.c_int32)),
+        ("n_facet_elems", ctypes.c_int64),
+        ("facet_nv", ctypes.c_int32),
+        ("status", ctypes.c_int32),
+    ]
+
+
 def build_native_lib(verbose: bool = False) -> bool:
     """Compile csrc/runtime.cpp -> libfgtruntime.so. Returns success."""
     try:
@@ -83,6 +99,29 @@ def _load():
     lib.parse_msh.restype = ctypes.POINTER(_MshResult)
     lib.parse_msh.argtypes = [ctypes.c_char_p]
     lib.free_msh_result.argtypes = [ctypes.POINTER(_MshResult)]
+    if not hasattr(lib, "parse_msh2"):
+        # stale library predating the physical-groups parser: rebuild once
+        del lib
+        if not build_native_lib():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.build_facets.restype = ctypes.POINTER(_FacetResult)
+        lib.build_facets.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.free_facet_result.argtypes = [ctypes.POINTER(_FacetResult)]
+        lib.parse_msh.restype = ctypes.POINTER(_MshResult)
+        lib.parse_msh.argtypes = [ctypes.c_char_p]
+        lib.free_msh_result.argtypes = [ctypes.POINTER(_MshResult)]
+        if not hasattr(lib, "parse_msh2"):
+            return None
+    lib.parse_msh2.restype = ctypes.POINTER(_MshResult2)
+    lib.parse_msh2.argtypes = [ctypes.c_char_p]
+    lib.free_msh_result2.argtypes = [ctypes.POINTER(_MshResult2)]
     lib.partition_bfs.restype = ctypes.c_int32
     lib.partition_bfs.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
@@ -144,6 +183,41 @@ def native_parse_msh(path: str):
     finally:
         lib.free_msh_result(res)
     return nodes, cells, etype
+
+
+def native_parse_msh2(path: str):
+    """Native gmsh 4.1 parser with physical groups; returns
+    (nodes (n,3), cells, gmsh_etype, cell_tags (n_cells,) or None,
+    facet_verts (n_fel, fnv) or None, facet_tags (n_fel,) or None),
+    or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = lib.parse_msh2(path.encode())
+    try:
+        r = res.contents
+        if r.status != 0:
+            return None
+        nn, nc = int(r.n_nodes), int(r.n_cells)
+        nv = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8}[int(r.etype)]
+        nodes = np.ctypeslib.as_array(r.nodes, shape=(nn, 3)).copy()
+        cells = np.ctypeslib.as_array(r.cells, shape=(nc, nv)).copy()
+        etype = int(r.etype)
+        cell_tags = np.ctypeslib.as_array(
+            r.cell_tags, shape=(nc,)).copy() if nc else None
+        nfe, fnv = int(r.n_facet_elems), int(r.facet_nv)
+        if nfe > 0:
+            f_verts = np.ctypeslib.as_array(
+                r.facet_verts, shape=(nfe, fnv)).copy()
+            f_tags = np.ctypeslib.as_array(
+                r.facet_tags, shape=(nfe,)).copy()
+            keep = f_tags >= 0
+            f_verts, f_tags = f_verts[keep], f_tags[keep]
+        else:
+            f_verts = f_tags = None
+    finally:
+        lib.free_msh_result2(res)
+    return nodes, cells, etype, cell_tags, f_verts, f_tags
 
 
 def native_partition_bfs(mesh, n_parts: int):

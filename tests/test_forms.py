@@ -172,3 +172,82 @@ def test_forms_nonlinear_reaction_diffusion_mms():
     assert bool(res.converged)
     err = np.abs(np.asarray(res.x) - u_ex).max()
     assert err < 2e-5, err
+
+
+def test_forms_interior_flux_reproduces_heat_sipg():
+    """The generic interior-facet surface (dS/jump/avg) reproduces the
+    hand-coded SIPG DG heat residual (ops/heat.py:229-254) to machine
+    precision — the UFL interior-facet parity check (reference
+    ThermoViscoProblem.py:308-326)."""
+    from fem_glass_tempering_tpu.ops.forms import avg, jump
+
+    m = box_mesh_2d(6, 5)
+    fs = FunctionSpace(m, "DG", 1)
+    p = ModelParams()
+    dt = 0.1
+    qd = 3  # one shared rule so cell/boundary/interior tables all match
+    op = HeatOperator(fs, p, dt=dt, quad_degree=qd)
+    rng = np.random.default_rng(7)
+    T = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+    T_prev = jnp.asarray(700 + 100 * rng.random(fs.n_scalar_dofs))
+
+    coef = dt * p.alpha
+
+    def sipg(up, um, dup, dum, x, n, h, **_):
+        j = jump(up, um)
+        ad = avg(dup, dum)
+        ph = (p.dg_penalty / h)[:, None]
+        return (coef * (ph * j - ad), coef * (-ph * j + ad),
+                -coef * 0.5 * j, -coef * 0.5 * j)
+
+    form = ScalarResidualForm(
+        fs,
+        cell_source=lambda u, gu, x, Tp=None: u - Tp - dt * p.f,
+        cell_flux=lambda u, gu, x, Tp=None: dt * p.alpha * gu,
+        boundary_flux=lambda u, x, n, Tp=None: dt * p.boundary_scale * (
+            p.sigma * p.epsilon * (u**4 - p.T_ambient**4)
+            + p.htc * (u - p.T_ambient)),
+        interior_flux=sipg,
+        quad_degree=qd,
+    )
+    Tp_q = T_prev[form.dofmap] @ form.phi.T
+    r_form = form.residual(T, Tp=Tp_q)
+    r_op = op.residual(T, T_prev)
+    np.testing.assert_allclose(np.asarray(r_form), np.asarray(r_op),
+                               rtol=1e-11, atol=1e-13)
+
+
+def test_forms_dg_sipg_poisson_mms():
+    """User-level SIPG through the eDSL: a custom DG-1 reaction-diffusion
+    PDE (-u'' + u = f, natural BCs, u_exact = cos(pi x)) that the generic
+    layer could not express before interior_flux existed."""
+    from fem_glass_tempering_tpu.ops.forms import avg, jump
+
+    errs = []
+    for n in (32, 64):
+        m = interval_mesh(n)
+        fs = FunctionSpace(m, "DG", 1)
+        pen = 10.0
+
+        def sipg(up, um, dup, dum, x, nrm, h, **_):
+            j = jump(up, um)
+            ad = avg(dup, dum)
+            ph = (pen / h)[:, None]
+            return (ph * j - ad, -ph * j + ad, -0.5 * j, -0.5 * j)
+
+        form = ScalarResidualForm(
+            fs,
+            cell_source=lambda u, gu, xq: u - (np.pi**2 + 1.0) * jnp.cos(
+                np.pi * xq[..., 0]),
+            cell_flux=lambda u, gu, xq: gu,
+            interior_flux=sipg,
+            quad_degree=4,
+        )
+        res = newton_solve(form.residual, jnp.zeros(fs.n_scalar_dofs),
+                           rtol=1e-12, cg_rtol=1e-13, cg_max_it=4000)
+        assert bool(res.converged)
+        u_ex = np.cos(np.pi * fs.dof_coords[:, 0])
+        errs.append(np.abs(np.asarray(res.x) - u_ex).max())
+    assert errs[1] < 2e-3, errs
+    # second-order convergence of the SIPG discretization
+    assert errs[0] / errs[1] > 3.0, errs

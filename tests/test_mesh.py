@@ -123,3 +123,101 @@ def test_ownership_covers_all_dofs():
     # every dof's owner must actually map back to that dof
     back = fs.dofmap[fs.owner_cell, fs.owner_lpoint]
     np.testing.assert_array_equal(back, np.arange(fs.n_scalar_dofs))
+
+
+# ----------------------------------------------------------------------
+# gmsh physical groups / mesh tags (reference geometry.py:23-24 writes the
+# group; dolfinx gmshio.read_from_msh returns (mesh, cell_tags, facet_tags),
+# ThermoViscoProblem.py:27-28)
+# ----------------------------------------------------------------------
+
+def _tagged_mesh_file(tmp_path):
+    from fem_glass_tempering_tpu.fem.mshio import write_msh
+
+    m = box_mesh_2d(4, 3)
+    ct = np.where(m.nodes[m.cells].mean(axis=1)[:, 0] < 0.5, 1, 2).astype(
+        np.int32)
+    rc = m.ref_cell
+    fmids = np.array([
+        m.nodes[m.cells[c][list(rc.facets[lf])]].mean(axis=0)
+        for c, lf in zip(m.boundary_cell, m.boundary_local_facet)])
+    ftags = np.where(fmids[:, 0] < 1e-12, 7, -1).astype(np.int32)
+    path = str(tmp_path / "tagged.msh")
+    write_msh(path, m, cell_tags=ct, facet_tags=ftags,
+              physical_names={"left_half": (2, 1), "right_half": (2, 2),
+                              "west": (1, 7)})
+    return path, m, ct, ftags
+
+
+def test_msh_physical_groups_roundtrip(tmp_path):
+    from fem_glass_tempering_tpu.fem.mesh import read_msh
+
+    path, m, ct, ftags = _tagged_mesh_file(tmp_path)
+    m2 = read_msh(path)
+    assert m2.cell_tags is not None
+    assert int((m2.cell_tags == 1).sum()) == int((ct == 1).sum())
+    assert m2.physical_names["west"] == (1, 7)
+    # facet enumeration is normalized identically on write/read meshes
+    west = m2.boundary_facets_with_tag("west")
+    assert int(west.sum()) == int((ftags == 7).sum())
+    # name-based cell selection
+    assert int(m2.cells_with_tag("right_half").sum()) == int((ct == 2).sum())
+
+
+def test_msh_tags_native_numpy_identical(tmp_path):
+    import fem_glass_tempering_tpu.utils.native as natmod
+    from fem_glass_tempering_tpu.fem.mesh import read_msh
+
+    path, *_ = _tagged_mesh_file(tmp_path)
+    if not natmod.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+    m_nat = read_msh(path)
+    lib, tried = natmod._LIB, natmod._TRIED
+    try:
+        natmod._LIB, natmod._TRIED = None, True  # force numpy fallback
+        m_np = read_msh(path)
+    finally:
+        natmod._LIB, natmod._TRIED = lib, tried
+    np.testing.assert_array_equal(m_nat.cells, m_np.cells)
+    np.testing.assert_array_equal(m_nat.cell_tags, m_np.cell_tags)
+    np.testing.assert_array_equal(m_nat.boundary_facet_tags,
+                                  m_np.boundary_facet_tags)
+
+
+def test_tag_selected_flux_and_dirichlet(tmp_path):
+    """setup(flux_tag=...) applies the radiation+convection flux on exactly
+    the tagged facets — equivalent to the coordinate flux_marker — and
+    dirichlet_tag clamps exactly the tagged facets' dofs."""
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.fem.mesh import read_msh
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+
+    path, *_ = _tagged_mesh_file(tmp_path)
+    mesh = read_msh(path)
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=1,
+                    sigma_family="CG", sigma_degree=1),
+        time=TimeConfig(0.0, 0.2, 0.1),
+        solver=SolverConfig(preconditioner="jacobi"),
+    )
+    p1 = ThermoViscoProblem(mesh=mesh, config=cfg)
+    p1.setup(flux_tag="west")
+    p2 = ThermoViscoProblem(mesh=mesh, config=cfg)
+    p2.setup(flux_marker=lambda x: x[:, 0] < 1e-12)
+    rng = np.random.default_rng(5)
+    T = 700 + 100 * rng.random(p1.fs_T.n_scalar_dofs)
+    Tp = 700 + 100 * rng.random(p1.fs_T.n_scalar_dofs)
+    import jax.numpy as jnp
+    r1 = p1.heat.residual(jnp.asarray(T), jnp.asarray(Tp))
+    r2 = p2.heat.residual(jnp.asarray(T), jnp.asarray(Tp))
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-14)
+
+    p3 = ThermoViscoProblem(mesh=mesh, config=cfg)
+    p3.setup(dirichlet_tag="west")
+    bd = np.where(np.asarray(p3.heat.bc_mask))[0]
+    assert len(bd) > 0
+    assert np.all(p3.fs_T.dof_coords[bd, 0] < 1e-12)
+    assert len(bd) == 4  # ny=3 -> 4 nodes on x=0
