@@ -47,7 +47,13 @@ def log(msg: str) -> None:
 
 
 def run_backend(steps: int, preconditioner: str,
-                nx: int = NX, ny: int = NY, nz: int = NZ) -> float:
+                nx: int = NX, ny: int = NY, nz: int = NZ,
+                rtol12: bool = False) -> float:
+    """One timed window. rtol12=True runs the REFERENCE-TOLERANCE config
+    (Newton rtol 1e-12 incremental, /root/reference/ThermoViscoProblem.py:336)
+    via the production mixed-precision route: f64 outer Newton (emulated
+    f64 on TPU) + f32 Krylov/MG + the residual noise floor — the 1M
+    matched-tolerance headline row (VERDICT r3 #3)."""
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -63,23 +69,35 @@ def run_backend(steps: int, preconditioner: str,
 
     t0 = time.perf_counter()
     mesh = box_mesh_3d(nx, ny, nz, lx=1.0, ly=1.0, lz=0.01)
+    if rtol12:
+        solver = SolverConfig(newton_rtol=1e-12, newton_atol=1e-10,
+                              cg_rtol=1e-12, cg_max_it=2000,
+                              linear_operator="stencil",
+                              preconditioner=preconditioner,
+                              mg_smoother="chebyshev",
+                              cg_dtype="float32")
+        dtype = "float64"
+    else:
+        solver = SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
+                              cg_rtol=1e-5, cg_max_it=4000,
+                              linear_operator="stencil",
+                              preconditioner=preconditioner,
+                              mg_smoother="chebyshev")
+        dtype = "float32"
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1,
                     sigma_family="CG", sigma_degree=1),
         time=TimeConfig(0.0, steps * 0.1, 0.1),
-        solver=SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
-                            cg_rtol=1e-5, cg_max_it=4000,
-                            linear_operator="stencil",
-                            preconditioner=preconditioner,
-                            mg_smoother="chebyshev"),
+        solver=solver,
         output=OutputConfig(write_every=0, formats=()),
-        dtype="float32",
+        dtype=dtype,
     )
     prob = ThermoViscoProblem(mesh=mesh, config=cfg)
     prob.setup()
     log(f"setup: {time.perf_counter() - t0:.0f}s "
         f"({prob.fs_T.n_scalar_dofs} dofs, backend "
-        f"{jax.devices()[0].platform}, pc={preconditioner})")
+        f"{jax.devices()[0].platform}, pc={preconditioner}, "
+        f"{'rtol1e-12 f64/f32' if rtol12 else 'rtol1e-5 f32'})")
 
     # warmup + compile: same program, run on the REAL initial transient
     t0 = time.perf_counter()
@@ -171,6 +189,14 @@ def main() -> None:
     cpu_job = _start_cpu_baseline()
     tpu_aux_ms = run_backend(AUX_STEPS, "jacobi", AUX_NX, AUX_NY, AUX_NZ)
     tpu_ms = run_backend(TIMED_STEPS, "mg")
+    # matched-tolerance flagship: same 1M mesh at the reference's Newton
+    # rtol 1e-12 (mixed precision f64/f32). Never let it sink the round's
+    # headline if it fails.
+    try:
+        tpu_12_ms = run_backend(TIMED_STEPS, "mg", rtol12=True)
+    except Exception as e:
+        log(f"rtol1e-12 1M row failed: {e!r}")
+        tpu_12_ms = None
     cpu_ms = _finish_cpu_baseline(*cpu_job)
     log(f"aux 72k-dof comparison ({AUX_STEPS}-step window, both Jacobi): "
         f"tpu {tpu_aux_ms:.2f} ms/step, cpu "
@@ -189,6 +215,11 @@ def main() -> None:
         # at the 1M headline size XLA-CPU cannot finish (measured
         # unbounded run: >=268 s/step, BENCH.md)
         "vs_baseline_1m_lower_bound": round(CPU_1M_MS_LOWER_BOUND / tpu_ms),
+        # the same 1M mesh at the REFERENCE's tolerance (Newton rtol 1e-12
+        # incremental, ThermoViscoProblem.py:336) via mixed precision —
+        # the reference-parity throughput row
+        "value_rtol1e12_1m_ms": (round(tpu_12_ms, 3)
+                                 if tpu_12_ms is not None else None),
     }
     print(json.dumps(result))
 

@@ -448,11 +448,20 @@ class DGStencilMatrix:
         # source row integral per cell dof: ∫ φ_l = Σ_q qw φ_l (the f term
         # of the residual, HeatOperator._base_residual mass_src)
         if qw.ndim == 1:
-            f1 = np.broadcast_to(np.einsum("q,ql->l", qw, phi),
-                                 (C, nloc)).copy()
+            f1_row = np.einsum("q,ql->l", qw, phi)
+            self.f1_row = jnp.asarray(f1_row, dtype=op.dtype)  # (nloc,)
+            if self.self_const:
+                # const form consumers broadcast the single row — never
+                # materialize the (C, nloc) table (65 MB at 1M cells f64)
+                self.f1 = None
+            else:
+                self.f1 = jnp.asarray(
+                    np.broadcast_to(f1_row, (C, nloc)).copy(),
+                    dtype=op.dtype)
         else:
-            f1 = np.einsum("cq,ql->cl", qw, phi)
-        self.f1 = jnp.asarray(f1, dtype=op.dtype)
+            self.f1_row = None
+            self.f1 = jnp.asarray(np.einsum("cq,ql->cl", qw, phi),
+                                  dtype=op.dtype)
         # device tables are skipped when the constant-block form covers
         # every consumer (values_at reconstructs them in-graph when a
         # block/column smoother needs the full array): at 1M cells they
@@ -618,10 +627,11 @@ class DGStencilMatrix:
         # the same f32/emulated-f64 health trick as ops/grid.py)
         if self.self_const:
             r = (((Tc - Tpc) @ self.A_mass.T)
-                 - (dt * p.f) * self.f1).reshape(-1)
+                 - (dt * p.f) * self.f1_row).reshape(-1)
         else:
+            f1 = self.f1 if self.f1 is not None else self.f1_row
             r = ((self.self_mass * (Tc - Tpc)[:, None, :]).sum(-1)
-                 - (dt * p.f) * self.f1).reshape(-1)
+                 - (dt * p.f) * f1).reshape(-1)
         # (K + SIPG) annihilates constant fields exactly, so apply it to
         # T - mean(T): the ~800 K constant part would otherwise leave a
         # row-sum cancellation bias (the ops/grid.py difference-form

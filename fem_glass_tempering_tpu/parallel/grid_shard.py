@@ -54,15 +54,17 @@ class GridShardedProblem:
 
     def __init__(self, mesh: FEMesh, config: RunConfig, devices=None):
         fe = config.fe
-        if fe.T_family != "CG" or fe.T_degree != 1:
-            raise ValueError("GridShardedProblem needs a CG-1 T space")
+        if fe.T_family not in ("CG", "DG") or fe.T_degree != 1:
+            raise ValueError("GridShardedProblem needs a CG-1 or DG-1 "
+                             "T space")
         if fe.sigma_family != "CG" or fe.sigma_degree != 1:
             raise ValueError("GridShardedProblem needs a CG-1 sigma space")
         if mesh.structured is None:
             raise ValueError("GridShardedProblem needs a structured box mesh")
+        self.is_dg = fe.T_family == "DG"
         if config.solver.preconditioner == "auto":
-            # structured CG-1 is guaranteed here (checks above): 'auto'
-            # resolves to grid-native geometric MG, the GAMG equivalent
+            # structured degree-1 is guaranteed here (checks above): 'auto'
+            # resolves to grid-native (p-)MG, the GAMG equivalent
             config = dataclasses.replace(
                 config, solver=dataclasses.replace(
                     config.solver, preconditioner="mg"))
@@ -75,7 +77,7 @@ class GridShardedProblem:
         if jax.config.jax_default_matmul_precision is None:
             jax.config.update("jax_default_matmul_precision", "highest")
 
-        self.fs_T = FunctionSpace(mesh, "CG", 1)
+        self.fs_T = FunctionSpace(mesh, fe.T_family, 1)
         self.fs_sigma = FunctionSpace(mesh, "CG", 1,
                                       value_shape=(mesh.tdim, mesh.tdim))
         self.params = config.params
@@ -86,13 +88,21 @@ class GridShardedProblem:
             physics_mode=config.physics_mode,
             shift_function=config.shift_function,
             xi_formula=config.xi_formula, dtype=self.dtype)
+        devices = list(devices if devices is not None else jax.devices())
+        self.dev_mesh = Mesh(np.array(devices), (AXIS,))
+        self.n_devices = len(devices)
+        heat_form = getattr(config, "heat_form", "reference")
+        self._mixed = (config.solver.cg_dtype == "float32"
+                       and self.dtype == jnp.float64)
+        if self.is_dg:
+            self._init_dg(mesh, config, heat_form)
+            self._build_shardings()
+            self._build_step()
+            return
         assert self.engine.to_sigma.same_space("T"), \
             "CG-1/CG-1 must share the scalar dofmap"
         self.heat = HeatOperator(self.fs_T, self.params, self.dt,
                                  dtype=self.dtype)
-        devices = list(devices if devices is not None else jax.devices())
-        self.dev_mesh = Mesh(np.array(devices), (AXIS,))
-        self.n_devices = len(devices)
         # pad the sharded node-grid axis up to a device multiple; the ghost
         # planes are identity rows (GSPMD cannot shard uneven dims)
         gx = mesh.structured["dims"][0] + 1
@@ -100,18 +110,16 @@ class GridShardedProblem:
         self.grid_op = GridHeatOperator(self.heat, pad_axis0=pad,
                                         allow_const=False)
         self.grid = self.grid_op.grid
+        self._ngrid_base = self.grid_op.st.grid
         self.pad0 = pad
         # mixed precision (f64 Newton / f32 Krylov): f32 operator twins,
         # exactly the single-device route to the reference's rtol 1e-12
         # on TPU (models/problem.py; TPUs have no native f64)
-        self._mixed = (config.solver.cg_dtype == "float32"
-                       and self.dtype == jnp.float64)
         self.grid_op32 = None
         if self._mixed:
             heat32 = HeatOperator(self.fs_T, self.params, self.dt,
                                   dtype=jnp.float32,
-                                  form=getattr(config, "heat_form",
-                                               "reference"))
+                                  form=heat_form)
             self.grid_op32 = GridHeatOperator(heat32, pad_axis0=pad,
                                               allow_const=False)
         # geometric-MG preconditioner, grid-native so it shards with the
@@ -165,15 +173,95 @@ class GridShardedProblem:
         self._build_step()
 
     # ------------------------------------------------------------------
+    def _init_dg(self, mesh: FEMesh, config: RunConfig,
+                 heat_form: str) -> None:
+        """DG-1 temperature under GSPMD: the reference's DEFAULT element
+        (/root/reference/main.py:25) on the flagship sharded path. The
+        T-space state lives CELL-grid-shaped (cx, cy, cz, nloc) sharded on
+        cell axis 0 (must divide the device count); sigma-space fields
+        stay node-grid-shaped exactly like the CG path. The heat solve is
+        the gather-free grid DG stencil (solver/grid_dg.py), the
+        preconditioner the column-smoothed p-MG with its CG correction on
+        GridMG — the whole step is one GSPMD program."""
+        from fem_glass_tempering_tpu.solver.grid_dg import (
+            GridDGOperator,
+            dg_vertex_offsets,
+        )
+
+        sc = config.solver
+        dims = tuple(mesh.structured["dims"])
+        if dims[0] % self.n_devices:
+            raise ValueError(
+                f"sharded DG needs cell-grid axis 0 ({dims[0]}) divisible "
+                f"by the device count ({self.n_devices})")
+        if config.mechanics == "equilibrium":
+            raise ValueError("equilibrium mechanics under sharded DG is "
+                             "not supported yet — use the CG-1 path")
+        self.cell_dims = dims
+        self._vert_offs, self._ngrid_base = dg_vertex_offsets(mesh)
+        self.nloc = self.fs_T.element.nloc
+        # sigma (node-grid) fields pad axis 0 to a device multiple like
+        # the CG path; T-space cell grids divide exactly (checked above)
+        gx = self._ngrid_base[0]
+        self.pad0 = (-gx) % self.n_devices
+        self.grid = (gx + self.pad0,) + self._ngrid_base[1:]
+        self.heat = HeatOperator(self.fs_T, self.params, self.dt,
+                                 dtype=self.dtype, form=heat_form,
+                                 interior_device_tables=False)
+        self.dg_op = GridDGOperator(self.heat)
+        self.dg_op32 = None
+        heat32 = None
+        if self._mixed:
+            heat32 = HeatOperator(self.fs_T, self.params, self.dt,
+                                  dtype=jnp.float32, form=heat_form,
+                                  interior_device_tables=False)
+            self.dg_op32 = GridDGOperator(heat32)
+        self.grid_op = self.grid_op32 = None
+        self.grid_mg = None
+        self.mech = None
+        self.dg_mg = None
+        if sc.preconditioner == "mg":
+            from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
+            mg_dtype = jnp.float32 if self._mixed else self.dtype
+            mg_heat = heat32 if self._mixed else self.heat
+
+            def make_cg_operator(level_mesh):
+                fs = FunctionSpace(level_mesh, "CG", 1)
+                return HeatOperator(fs, self.params, self.dt,
+                                    dtype=mg_dtype, form=heat_form)
+
+            self.dg_mg = DGMultigrid(
+                mg_heat, make_cg_operator, dtype=mg_dtype,
+                smoother=getattr(sc, "dg_smoother", "auto"),
+                coarse_kind="grid", grid_pad0=self.pad0,
+                mg_kwargs={"smoother": sc.mg_smoother,
+                           "nu_pre": getattr(sc, "mg_nu_pre", 2),
+                           "nu_post": getattr(sc, "mg_nu_post", 2),
+                           "coarse": ("smooth" if getattr(
+                               sc, "mg_coarse", "auto") == "smooth"
+                               else "auto")})
+            self.dg_mg.freeze(float(self.params.T_0), self.dt)
+
+    _TSPACE_FIELDS = frozenset(
+        {"T", "T_prev", "Tf", "Tf_prev", "Tf_partial", "phi", "xi"})
+
+    def _is_cellgrid(self, name: str) -> bool:
+        return self.is_dg and name in self._TSPACE_FIELDS
+
+    # ------------------------------------------------------------------
     def _to_grid(self, state: ViscoState) -> ViscoState:
         """Flat dof-vector state -> grid-shaped state, ghost planes padded
         by edge replication (so the pointwise material chain stays finite
-        there; the heat solve treats them as identity rows)."""
-        base = self.grid_op.st.grid       # unpadded node grid
+        there; the heat solve treats them as identity rows). DG T-space
+        fields reshape to the cell grid + local-dof axis, unpadded."""
+        base = self._ngrid_base           # unpadded node grid
 
         def f(name, a):
             if name == "t" or a is None:
                 return a
+            if self._is_cellgrid(name):
+                return a.reshape(self.cell_dims + (self.nloc,)
+                                 + a.shape[1:])
             g = a.reshape(base + a.shape[1:])
             if self.pad0:
                 pc = [(0, self.pad0)] + [(0, 0)] * (g.ndim - 1)
@@ -186,6 +274,10 @@ class GridShardedProblem:
         def f(name, a):
             if name == "t" or a is None:
                 return a
+            if self._is_cellgrid(name):
+                d = len(self.cell_dims) + 1       # + local-dof axis
+                extra = a.shape[d:]
+                return a.reshape((-1,) + extra)
             if self.pad0:
                 a = a[: a.shape[0] - self.pad0]
             extra = a.shape[len(self.grid):]
@@ -215,7 +307,22 @@ class GridShardedProblem:
         engine = self.engine
         sc = self.config.solver
         default_dt = self.dt
-        ident = lambda name, arr: arr    # CG-1/CG-1: cross-eval is identity
+        if self.is_dg:
+            # T-space (cell-grid) fields -> sigma (node-grid) fields: the
+            # last-cell-wins vertex map as 2^d slice writes + the sigma
+            # ghost-plane edge pad (solver/grid_dg.py dg_to_nodes_g)
+            from fem_glass_tempering_tpu.solver.grid_dg import dg_to_nodes_g
+            vo, ngrid = self._vert_offs, self._ngrid_base
+            pad_sig = self.pad0
+
+            def ident(name, ag):
+                ng = dg_to_nodes_g(ag, vo, ngrid)
+                if pad_sig:
+                    ng = jnp.pad(ng, [(0, pad_sig)]
+                                 + [(0, 0)] * (ng.ndim - 1), mode="edge")
+                return ng
+        else:
+            ident = lambda name, arr: arr  # CG-1/CG-1: cross-eval is identity
 
         mg = self.grid_mg
         mech_fn = self.mech
@@ -238,42 +345,61 @@ class GridShardedProblem:
         if inc_forcing is None:
             inc_forcing = 0.05
 
+        dg = getattr(self, "dg_op", None)
+        dg32 = getattr(self, "dg_op32", None)
+        dmg = getattr(self, "dg_mg", None)
+        is_dg = self.is_dg
+        # production / f32-twin operator views with a COMMON surface:
+        # residual_g / make_matvec_g / jacobian_diag_g — the step body
+        # below is element-family-agnostic
+        op_main = dg if is_dg else g
+        op_fast = (dg32 or dg) if is_dg else (g32 or g)
+
         def step(state: ViscoState, dt):
             if mixed:
                 dt32 = jnp.asarray(dt, f32)
                 cast = lambda T: T.astype(f32)
-                matvec_fn = lambda T: g32.make_matvec_g(cast(T), dt32)
-                if mg is not None:
+                matvec_fn = lambda T: op_fast.make_matvec_g(cast(T), dt32)
+                if is_dg and dmg is not None:
+                    precond_fn = lambda T: dmg.preconditioner_g(
+                        cast(T), dt32, op_fast.make_matvec_g(cast(T), dt32))
+                    diag_fn = None
+                elif mg is not None:
                     precond_fn = lambda T: mg.preconditioner_g(
                         mg.linearization_states_g(cast(T)), dt32)
                     diag_fn = None
                 else:
                     precond_fn = None
-                    diag_fn = lambda T: g32.jacobian_diag_g(cast(T), dt32)
+                    diag_fn = lambda T: op_fast.jacobian_diag_g(cast(T),
+                                                                dt32)
             else:
-                matvec_fn = lambda T: g.make_matvec_g(T, dt)
-                if mg is not None:
+                matvec_fn = lambda T: op_main.make_matvec_g(T, dt)
+                if is_dg and dmg is not None:
+                    precond_fn = lambda T: dmg.preconditioner_g(
+                        T, dt, op_main.make_matvec_g(T, dt))
+                    diag_fn = None
+                elif mg is not None:
                     precond_fn = lambda T: mg.preconditioner_g(
                         mg.linearization_states_g(T), dt)
                     diag_fn = None
                 else:
                     precond_fn = None
-                    diag_fn = lambda T: g.jacobian_diag_g(T, dt)
+                    diag_fn = lambda T: op_main.jacobian_diag_g(T, dt)
             noise_fn = None
             if noise_rel:
                 def noise_fn(T):
-                    d = g.jacobian_diag_g(T, dt) * T
+                    d = op_main.jacobian_diag_g(T, dt) * T
                     return noise_rel * jnp.sqrt(jnp.vdot(d, d))
             inc_diag = None
             if inc_forcing:
                 # once-per-step magnitude scale (models/problem.py): the
                 # f32 twin when it exists, else the production operator
-                gd = g32 if (mixed and g32 is not None) else g
-                dtd = dt32 if (mixed and g32 is not None) else dt
-                Td = cast(state.T) if (mixed and g32 is not None) else state.T
-                inc_diag = gd.jacobian_diag_g(Td, dtd)
+                if mixed:
+                    inc_diag = op_fast.jacobian_diag_g(cast(state.T), dt32)
+                else:
+                    inc_diag = op_main.jacobian_diag_g(state.T, dt)
             res = newton_solve(
-                lambda T: g.residual_g(T, state.T, dt), state.T,
+                lambda T: op_main.residual_g(T, state.T, dt), state.T,
                 jac_diag_fn=diag_fn,
                 precond_fn=precond_fn,
                 matvec_fn=matvec_fn,
@@ -297,16 +423,23 @@ class GridShardedProblem:
         # of the stencil values.
         from fem_glass_tempering_tpu.utils.jitargs import TableBundle
         bundle = TableBundle()
-        bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
-                            "bc_mask_g", "bc_values_g"))
-        if g32 is not None:
-            bundle.register(g32, ("vals_mass", "vals_stiff", "M1g",
-                                  "bc_mask_g", "bc_values_g"))
-        if mg is not None:
-            bundle.register(mg, ("coarse_inv",))
-            for op in mg.ops[1:]:
-                bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
-                                     "bc_mask_g", "bc_values_g"))
+        if is_dg:
+            bundle.register_operator(dg)
+            if dg32 is not None:
+                bundle.register_operator(dg32)
+            if dmg is not None:
+                bundle.register_operator(dmg)
+        else:
+            bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
+                                "bc_mask_g", "bc_values_g"))
+            if g32 is not None:
+                bundle.register(g32, ("vals_mass", "vals_stiff", "M1g",
+                                      "bc_mask_g", "bc_values_g"))
+            if mg is not None:
+                bundle.register(mg, ("coarse_inv",))
+                for op in mg.ops[1:]:
+                    bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
+                                         "bc_mask_g", "bc_values_g"))
         if mech_fn is not None:
             bundle.register_operator(mech_fn)
         self._bundle = bundle
@@ -317,16 +450,29 @@ class GridShardedProblem:
         # fine level is padded to a device multiple, coarse levels shard
         # unevenly (GSPMD pads internally) and replicate once their plane
         # count drops below the device count
-        grids = [self.grid] + ([gr for gr in mg.grids()[1:]]
-                               if mg is not None else [])
+        if is_dg:
+            grids = [self.cell_dims]
+            if dmg is not None:
+                grids += [gr for gr in dmg.cg_mg.grids()]
+                # the column smoother's per-type mask leads with the
+                # merged cross-column axis (cx outermost) — shardable
+                data = getattr(dmg, "_frozen_smoother_data", None)
+                if data is not None and "colmask" in data:
+                    grids.append(tuple(data["colmask"].shape[:1]))
+        else:
+            grids = [self.grid] + ([gr for gr in mg.grids()[1:]]
+                                   if mg is not None else [])
 
         def leaf_sharding(a):
             for gr in grids:
-                if gr[0] < self.n_devices:
+                dg_ = len(gr)
+                # explicit placement needs divisibility; uneven (coarse)
+                # level tables stay replicated — they are small
+                if gr[0] % self.n_devices:
                     continue
-                if a.ndim >= d + 1 and a.shape[1:d + 1] == gr:
+                if a.ndim >= dg_ + 1 and a.shape[1:dg_ + 1] == gr:
                     return NamedSharding(self.dev_mesh, P(None, AXIS))
-                if a.ndim >= d and a.shape[:d] == gr:
+                if a.ndim >= dg_ and a.shape[:dg_] == gr:
                     return shard
             return rep
 

@@ -422,7 +422,8 @@ class DGMultigrid:
 
     def __init__(self, dg_op, make_cg_operator, *, nu: int = 1,
                  smoother: str = "auto", dtype=jnp.float64,
-                 mg_kwargs: dict | None = None, column_dense: bool = True):
+                 mg_kwargs: dict | None = None, column_dense: bool = True,
+                 coarse_kind: str = "geometric", grid_pad0: int = 0):
         fs = dg_op.fs
         mesh = fs.mesh
         if fs.family != "DG" or fs.degree != 1:
@@ -492,8 +493,32 @@ class DGMultigrid:
             sum((cc[:, i] + o[i]) * nstr[i] for i in range(len(dims)))
             for o in offs], axis=-1)
         self._vert_offs = offs if np.array_equal(rec, cells_np) else None
-        self.cg_mg = GeometricMG(mesh, make_cg_operator, dtype=dtype,
-                                 **(mg_kwargs or {}))
+        # coarse_kind="grid": the CG-1 correction runs through GridMG
+        # (solver/grid_mg.py), the V-cycle already validated under GSPMD —
+        # this is the sharded-DG route (parallel/grid_shard.py). The
+        # geometric default is the single-device production path.
+        self.coarse_kind = coarse_kind
+        # grid_pad0: sharded callers pad the CG-correction node grid's
+        # axis 0 to a device multiple with identity ghost rows (the same
+        # mechanism as parallel/grid_shard.py's fine-level pad); the
+        # p-transfers below pad/slice at the boundary between the DG cell
+        # grid and the padded node grid.
+        self._grid_pad0 = int(grid_pad0)
+        if coarse_kind == "grid":
+            from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
+            from fem_glass_tempering_tpu.solver.grid_mg import GridMG
+            kw = dict(mg_kwargs or {})
+            kw.pop("max_levels", None)      # GridMG: auto depth only
+            kw.pop("table_dtype", None)
+            if kw.get("coarse") == "dense":
+                kw["coarse"] = "auto"
+            self.cg_mg = GridMG(
+                GridHeatOperator(make_cg_operator(mesh),
+                                 pad_axis0=grid_pad0, allow_const=False),
+                make_cg_operator, **kw)
+        else:
+            self.cg_mg = GeometricMG(mesh, make_cg_operator, dtype=dtype,
+                                     **(mg_kwargs or {}))
         self._frozen_rho = None
 
     # ---- p-transfers -------------------------------------------------
@@ -523,6 +548,32 @@ class DGMultigrid:
         """Vertex-averaged CG representation of a DG iterate — the
         linearization state for the coarse hierarchy."""
         return self.restrict(T_dg) * self.inv_counts
+
+    # ---- grid-shaped p-transfers (the GSPMD path: no flat reshape
+    # across the sharded axis; pure static slice/pad ops) --------------
+    def prolong_g(self, x_cg):
+        """(gx, gy, gz) node grid -> (cx, cy, cz, nloc) DG cell grid."""
+        assert self._vert_offs is not None
+        dims = self.stencil.cell_dims
+        parts = [jax.lax.slice(x_cg, o, tuple(oi + di for oi, di
+                                              in zip(o, dims)))
+                 for o in self._vert_offs]
+        return jnp.stack(parts, axis=-1)
+
+    def restrict_g(self, r_dg):
+        """(cx, cy, cz, nloc) -> (gx, gy, gz): transposed prolongation as
+        2^d full-grid pads + adds (partitioner-friendly; no scatter)."""
+        assert self._vert_offs is not None
+        out = None
+        for l, o in enumerate(self._vert_offs):
+            pads = [(oi, 1 - oi) for oi in o]
+            t = jnp.pad(r_dg[..., l], pads)
+            out = t if out is None else out + t
+        return out
+
+    def restrict_state_g(self, T_dg):
+        inv = self.inv_counts.reshape(self._node_grid)
+        return self.restrict_g(T_dg) * inv
 
     # ---- block/line solvers -------------------------------------------
     # The smoother solve is split into (data, apply): `_zsolve_data` builds
@@ -843,7 +894,105 @@ class DGMultigrid:
         # freeze_omegas never uses the fine state (Gershgorin from numpy
         # row stats); the previous restrict_state(T_dg0) here was a pure
         # eager-dispatch cost through the remote-TPU tunnel
-        self.cg_mg.freeze_omegas(None, dt)
+        if self.coarse_kind == "grid":
+            self.cg_mg.freeze_rhos(dt)
+        else:
+            self.cg_mg.freeze_omegas(None, dt)
+
+    # ---- grid-shaped apply (GSPMD path) ------------------------------
+    def _zsolve_apply_g(self, data, rg):
+        """Grid-shaped smoother solve: rg (cx, cy, cz, nloc) in/out."""
+        if "diag" in data:
+            return rg / data["diag"].reshape(rg.shape)
+        if "inv_self" in data:
+            return self._bmv(data["inv_self"].reshape(
+                rg.shape[:-1] + data["inv_self"].shape[-2:]), rg)
+        if "colinv" not in data:
+            raise ValueError("grid-shaped smoother needs the dense column "
+                             "form (column_dense=True) or block/jacobi")
+        st = self.stencil
+        a = self.col_axis
+        dims = st.cell_dims
+        d = len(dims)
+        nloc = st.nloc
+        nzc = dims[a]
+        ncol = st.C // nzc
+        nb = nzc * nloc
+        perm = tuple(i for i in range(d) if i != a) + (a,)
+        inv_perm = tuple(int(i) for i in np.argsort(perm))
+        Minv = data["colinv"]                       # (t, nb, nb)
+        mask = data["colmask"]                      # (ncol, t)
+        t = Minv.shape[0]
+        rt = jnp.transpose(rg, perm + (d,)).reshape(ncol, nb)
+        ys = (rt @ Minv.reshape(t * nb, nb).T).reshape(ncol, t, nb)
+        xg = (ys * mask[:, :, None]).sum(axis=1)    # (ncol, nb)
+        shape_perm = tuple(dims[i] for i in perm) + (nloc,)
+        xg = xg.reshape(shape_perm)
+        return jnp.transpose(xg, inv_perm + (d,))
+
+    def preconditioner_g(self, T_dg_g, dt, matvec_g):
+        """Grid-shaped DG p-MG apply for the GSPMD-sharded step: the
+        caller supplies the gather-free grid matvec
+        (solver/grid_dg.py GridDGOperator.make_matvec_g at the frozen
+        state); the CG correction must be a GridMG (coarse_kind='grid').
+        Frozen smoother data required (freeze())."""
+        assert self.coarse_kind == "grid", \
+            "preconditioner_g needs coarse_kind='grid'"
+        data = getattr(self, "_frozen_smoother_data", None)
+        rho = self._frozen_rho
+        assert data is not None and rho is not None, "call freeze() first"
+        mv = matvec_g
+        pad = self._grid_pad0
+        gx = self._node_grid[0]
+
+        def pad0(a, mode="constant"):
+            if not pad:
+                return a
+            return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
+                           mode=mode)
+
+        def unpad0(a):
+            if not pad:
+                return a
+            return jax.lax.slice_in_dim(a, 0, gx, axis=0)
+
+        T_cg = pad0(self.restrict_state_g(T_dg_g), mode="edge")
+        inner = self.cg_mg.preconditioner_g(
+            self.cg_mg.linearization_states_g(T_cg), dt)
+        zsolve = lambda r: self._zsolve_apply_g(data, r)
+        nu = self.nu
+
+        def smooth(x, b):
+            if self.smoother == "jacobi":
+                omega = 4.0 / (3.0 * rho)
+                for _ in range(nu):
+                    x = x + omega * zsolve(b - mv(x))
+                return x
+            lmax = rho
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho_k = 1.0 / sigma
+            z = zsolve(b - mv(x))
+            p = z / theta
+            x = x + p
+            for _ in range(max(nu - 1, 0)):
+                z = zsolve(b - mv(x))
+                rho_next = 1.0 / (2.0 * sigma - rho_k)
+                p = rho_next * rho_k * p + (2.0 * rho_next / delta) * z
+                x = x + p
+                rho_k = rho_next
+            return x
+
+        def apply(r):
+            x = smooth(jnp.zeros_like(r), r)
+            rr = r - mv(x)
+            xc = unpad0(inner(pad0(self.restrict_g(rr))))
+            x = x + self.prolong_g(xc)
+            return smooth(x, r)
+
+        return apply
 
     # ---- apply -------------------------------------------------------
     def preconditioner(self, T_dg, dt):

@@ -57,8 +57,13 @@ class TableBundle:
         elif name == "DGStencilMatrix":
             self.register(op, ("self_mass", "self_stiff", "Bp", "Bm",
                                "A_mass", "A_stiff", "corr_pp", "corr_mm",
-                               "Bp_cells", "Bm_cells", "b_cell", "f1"))
+                               "Bp_cells", "Bm_cells", "b_cell", "f1",
+                               "f1_row"))
             self.register_operator(op.op)
+        elif name == "GridDGOperator":
+            self.register_operator(op.st)
+            for face in op.faces:
+                self.register(face, ("qw", "phi"))
         elif name == "EllMatrix":
             self.register(op, ("vals_mass", "vals_stiff", "cols",
                                "b_flat_idx"))

@@ -1,0 +1,188 @@
+"""Sharded DG-1: grid-shaped DG operator + p-MG under GSPMD.
+
+The reference's DEFAULT element is DG-1 (/root/reference/main.py:25) and
+its parallel story covers it (mpiexec, README.md:62-66). These tests pin:
+(1) the gather-free grid DG operator (solver/grid_dg.py) against the flat
+    block-stencil/assembly path to machine precision,
+(2) the slice-based DG->CG vertex map against CrossEval's dolfinx
+    last-cell-wins semantics exactly,
+(3) the grid-shaped p-transfers against the flat ones,
+(4) the full 8-virtual-device sharded DG step against the single-device
+    production DG driver at Newton rtol 1e-12.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fem_glass_tempering_tpu.config import (
+    FEConfig,
+    ModelParams,
+    OutputConfig,
+    RunConfig,
+    SolverConfig,
+    TimeConfig,
+)
+from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
+from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+from fem_glass_tempering_tpu.ops.heat import HeatOperator
+from fem_glass_tempering_tpu.solver.grid_dg import (
+    GridDGOperator,
+    dg_to_nodes_g,
+    dg_vertex_offsets,
+)
+
+
+def _dg_setup(nx=8, ny=4, nz=4, lz=0.01, dtype=jnp.float64):
+    mesh = box_mesh_3d(nx, ny, nz, 1.0, 1.0, lz)
+    fs = FunctionSpace(mesh, "DG", 1)
+    op = HeatOperator(fs, ModelParams(), 0.1, dtype=dtype)
+    return mesh, fs, op
+
+
+def test_grid_dg_residual_matches_flat():
+    mesh, fs, op = _dg_setup()
+    gop = GridDGOperator(op)
+    rng = np.random.default_rng(0)
+    n = fs.n_scalar_dofs
+    T = jnp.asarray(700 + 100 * rng.random(n))
+    Tp = jnp.asarray(700 + 100 * rng.random(n))
+    shape = gop.dims + (gop.nloc,)
+    r_g = gop.residual_g(T.reshape(shape), Tp.reshape(shape))
+    r_flat = gop.st.residual(T, Tp)
+    np.testing.assert_allclose(np.asarray(r_g).reshape(-1),
+                               np.asarray(r_flat), rtol=1e-12, atol=1e-9)
+    # and against the gather-assembly HeatOperator
+    r_op = op.residual(T, Tp)
+    np.testing.assert_allclose(np.asarray(r_g).reshape(-1),
+                               np.asarray(r_op), rtol=1e-12, atol=1e-8)
+
+
+def test_grid_dg_matvec_and_diag_match_flat():
+    mesh, fs, op = _dg_setup()
+    gop = GridDGOperator(op)
+    rng = np.random.default_rng(1)
+    n = fs.n_scalar_dofs
+    T = jnp.asarray(700 + 100 * rng.random(n))
+    v = jnp.asarray(rng.standard_normal(n))
+    shape = gop.dims + (gop.nloc,)
+    mv_g = gop.make_matvec_g(T.reshape(shape))
+    y_g = mv_g(v.reshape(shape))
+    y_flat = gop.st.make_matvec(T, 0.1)(v)
+    np.testing.assert_allclose(np.asarray(y_g).reshape(-1),
+                               np.asarray(y_flat), rtol=1e-12, atol=1e-9)
+    d_g = gop.jacobian_diag_g(T.reshape(shape))
+    d_flat = gop.st.jacobian_diag(T, 0.1)
+    np.testing.assert_allclose(np.asarray(d_g).reshape(-1),
+                               np.asarray(d_flat), rtol=1e-12, atol=1e-9)
+
+
+def test_dg_to_nodes_matches_crosseval():
+    """The slice-based DG-1 -> CG-1 map == CrossEval's dolfinx
+    last-cell-wins ownership, bit-exact."""
+    from fem_glass_tempering_tpu.ops.interpolation import build_cross_eval
+
+    mesh, fs, op = _dg_setup(4, 3, 2)
+    fs_cg = FunctionSpace(mesh, "CG", 1)
+    ce = build_cross_eval(fs_cg, {"T": fs})
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    ref = ce.eval("T", u)
+    vo, ngrid = dg_vertex_offsets(mesh)
+    got = dg_to_nodes_g(u.reshape((4, 3, 2, 8)), vo, ngrid)
+    np.testing.assert_array_equal(np.asarray(got).reshape(-1),
+                                  np.asarray(ref))
+
+
+def test_dg_grid_transfers_match_flat():
+    from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
+
+    mesh, fs, op = _dg_setup()
+    p = ModelParams()
+
+    def make_cg(m):
+        return HeatOperator(FunctionSpace(m, "CG", 1), p, 0.1,
+                            dtype=jnp.float64)
+
+    mg = DGMultigrid(op, make_cg, smoother="column", dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    x_cg = jnp.asarray(rng.standard_normal(mesh.n_nodes))
+    up_flat = mg.prolong(x_cg)
+    up_g = mg.prolong_g(x_cg.reshape(mg._node_grid))
+    np.testing.assert_array_equal(np.asarray(up_g).reshape(-1),
+                                  np.asarray(up_flat))
+    r_dg = jnp.asarray(rng.standard_normal(fs.n_scalar_dofs))
+    down_flat = mg.restrict(r_dg)
+    down_g = mg.restrict_g(r_dg.reshape(mg.stencil.cell_dims + (8,)))
+    np.testing.assert_allclose(np.asarray(down_g).reshape(-1),
+                               np.asarray(down_flat), rtol=1e-14)
+
+
+def _run_cfg(steps, dtype="float64", rtol=1e-12):
+    return RunConfig(
+        fe=FEConfig(T_family="DG", T_degree=1,
+                    sigma_family="CG", sigma_degree=1),
+        time=TimeConfig(0.0, steps * 0.1, 0.1),
+        solver=SolverConfig(newton_rtol=rtol, newton_atol=1e-10,
+                            cg_rtol=rtol, cg_max_it=2000,
+                            linear_operator="stencil",
+                            preconditioner="mg", mg_smoother="chebyshev"),
+        output=OutputConfig(write_every=0, formats=()),
+        dtype=dtype,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_dg_matches_single_device_rtol12():
+    """8-virtual-device GSPMD DG step == the single-device production DG
+    driver at the reference's Newton rtol 1e-12 — the sharded-DG
+    acceptance test (VERDICT r3 #1b)."""
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+    from fem_glass_tempering_tpu.parallel.grid_shard import GridShardedProblem
+
+    assert len(jax.devices()) >= 8, "conftest forces 8 virtual devices"
+    steps = 3
+    mesh = box_mesh_3d(8, 4, 4, 1.0, 1.0, 0.01)
+    cfg = _run_cfg(steps)
+
+    single = ThermoViscoProblem(mesh=mesh, config=cfg)
+    single.setup()
+    st_s, ok_s, ni_s, ki_s = single._multi_step_jit(single.state, steps)
+    assert bool(ok_s)
+
+    shard = GridShardedProblem(mesh, cfg)
+    st_p = shard.init_state()
+    st_p, ok_p, ni_p, ki_p = shard.run(st_p, steps)
+    assert ok_p
+    flat = shard.gather_state(st_p)
+
+    T_s = np.asarray(st_s.T)
+    T_p = np.asarray(flat.T)
+    scale = np.abs(T_s).max()
+    assert np.abs(T_p - T_s).max() / scale < 1e-9, \
+        np.abs(T_p - T_s).max() / scale
+    sg_s = np.asarray(st_s.sigma)
+    sg_p = np.asarray(flat.sigma)
+    sscale = max(np.abs(sg_s).max(), 1e-30)
+    assert np.abs(sg_p - sg_s).max() / sscale < 1e-8
+    # iteration counts in the same ballpark (different CG-coarse V-cycle
+    # internals allow small drift, not a blow-up)
+    assert int(ki_p) <= 2 * int(ki_s) + 8, (int(ki_p), int(ki_s))
+
+
+@pytest.mark.slow
+def test_sharded_dg_arrays_distributed():
+    """The DG T state is genuinely sharded over the 8-device mesh (cell
+    axis 0), not replicated."""
+    from fem_glass_tempering_tpu.parallel.grid_shard import GridShardedProblem
+
+    mesh = box_mesh_3d(8, 4, 4, 1.0, 1.0, 0.01)
+    shard = GridShardedProblem(mesh, _run_cfg(1))
+    st = shard.init_state()
+    T = st.T
+    assert T.shape == (8, 4, 4, 8)
+    assert len(T.sharding.device_set) == 8
+    shards = T.addressable_shards
+    assert len(shards) == 8
+    assert all(s.data.shape[0] == 1 for s in shards)

@@ -71,6 +71,7 @@ def test_grid_elasticity_matches_flat_operator(mesher):
                                np.asarray(e_f), rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_sharded_equilibrium_mechanics_matches_flat_path():
     """mechanics='equilibrium' in the GSPMD path (previously fenced out):
     the 8-device sharded coupled step with the grid-native elasticity
@@ -144,6 +145,7 @@ def test_grid_elasticity_padded_ghosts_are_identity():
     np.testing.assert_array_equal(np.asarray(out3[-3:]), vp[-3:])
 
 
+@pytest.mark.slow
 def test_elast_mg_dense_coarse_cuts_iterations():
     """The frozen dense coarse solve (GridElastMG.coarse_inv) is the
     difference between a limping and a converging elasticity V-cycle on

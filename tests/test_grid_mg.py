@@ -44,6 +44,7 @@ def _cfg(preconditioner="mg", cg_rtol=1e-12, **solver_extra):
 
 
 @pytest.mark.parametrize("coarse", ["smooth", "auto"])
+@pytest.mark.slow
 def test_sharded_mg_matches_single_device_and_iteration_count(coarse):
     """8-device MG-preconditioned step == 1-device step to <=1e-10 with the
     SAME iteration counts (the V-cycle is the same program either way).
@@ -82,6 +83,7 @@ def test_sharded_mg_matches_single_device_and_iteration_count(coarse):
                                rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_sharded_mg_cuts_iterations_vs_jacobi():
     """The sharded MG preconditioner must deliver the MG iteration
     economics (VERDICT round 2: the GSPMD path ran Jacobi-only at 1231 CG
@@ -98,6 +100,7 @@ def test_sharded_mg_cuts_iterations_vs_jacobi():
     assert kim < kij / 2, (kim, kij)
 
 
+@pytest.mark.slow
 def test_sharded_mixed_precision_matches_f64():
     """Mixed precision (f64 Newton / f32 MG-CG) in the GSPMD path at the
     reference's rtol 1e-12 — the multi-chip route to reference tolerance

@@ -86,6 +86,7 @@ def _center_profile(prob, st):
     return z[order], sig[center][order]
 
 
+@pytest.mark.slow
 def test_equilibrium_membrane_balance():
     """With equilibrium mechanics the mid-plate through-thickness stress
     profile is (weakly) self-balanced — |thickness-mean| a small fraction
@@ -110,6 +111,7 @@ def test_equilibrium_membrane_balance():
     np.testing.assert_allclose(pe, pe[::-1], atol=0.05 * np.abs(pe).max())
 
 
+@pytest.mark.slow
 def test_equilibrium_reduces_to_reference_when_clamped_uniform():
     """Sanity: with mechanics enabled, a SPATIALLY UNIFORM cooling step on
     a free body produces near-zero stress (free contraction), unlike the
@@ -176,6 +178,7 @@ def test_residual_stress_inversion_full_temper():
     assert mem < 0.1 * np.abs(pc).max()
 
 
+@pytest.mark.slow
 def test_mechanics_warm_start_cuts_iterations_and_matches():
     """state.du warm-starts the equilibrium CG: a repeat solve from the
     previous displacement converges in far fewer iterations and to the
@@ -217,6 +220,7 @@ def test_mechanics_warm_start_cuts_iterations_and_matches():
     assert du2.shape == (n, 3)
 
 
+@pytest.mark.slow
 def test_mechanics_increment_tolerance_cuts_iterations_bounded_error():
     """inc_rtol (pcg rtol_r0) relaxes the warm-started solve to a fixed
     reduction of the residual AT the warm start: far fewer iterations on

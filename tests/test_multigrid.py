@@ -83,6 +83,7 @@ def test_mg_matches_jacobi_2d():
     assert it_m < it_j, (it_m, it_j)
 
 
+@pytest.mark.slow
 def test_mg_dense_coarse_and_depth_cap():
     """The frozen dense coarse inverse (mg_coarse='auto'/'dense', the TPU
     remedy for both the launch-bound tail levels and the weak approximate
@@ -437,6 +438,7 @@ def test_dg_slice_transfers_match_gather():
             rtol=1e-13, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_dg_smoother_spectrum_covered():
     """Regression for the round-3 spectral-radius underestimate: the
     frozen Chebyshev window must cover lambda_max(Z^-1 A) — an
@@ -485,6 +487,7 @@ def test_dg_smoother_spectrum_covered():
     assert rho_e < 1.0, rho_e
 
 
+@pytest.mark.slow
 def test_mg_bf16_tables_equivalent_solve():
     """mg_table_dtype='bfloat16' (V-cycle tables streamed in bf16 — half
     the preconditioner's HBM traffic) is a preconditioner-only

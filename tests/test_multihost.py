@@ -14,6 +14,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 _WORKER = r"""
 import os, sys
@@ -56,6 +57,7 @@ print(f"proc {pid}: OK rel={rel:.2e} newton={ni} cg={ki}", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_sharded_step(tmp_path):
     # single-process reference, computed here (same config as the workers)
     from fem_glass_tempering_tpu.config import (

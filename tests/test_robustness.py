@@ -58,6 +58,7 @@ def test_run_determinism_bitwise():
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_f32_error_tracking():
     """f32 perf mode vs f64 parity mode on the default config (50 steps):
     temperature agrees to ~1e-2 K out of ~700 K (relative ~1e-5), which is

@@ -28,6 +28,7 @@ def _cfg(tmp, write_every=1, checkpoint_every=0):
     )
 
 
+@pytest.mark.slow
 def test_sharded_streaming_matches_gathered_state(tmp_path):
     """Concatenated per-shard pieces == the full gather, BITWISE (same
     computation, different I/O path), across an uneven shard split."""
@@ -45,6 +46,7 @@ def test_sharded_streaming_matches_gathered_state(tmp_path):
                                   np.asarray(flat.sigma))
 
 
+@pytest.mark.slow
 def test_sharded_checkpoint_resume_bitwise(tmp_path):
     """checkpoint at step 2 -> resume -> step 3 == straight 3-step run,
     bitwise (the restart invariant, reference lacks this entirely)."""

@@ -37,6 +37,7 @@ def _solve(mesh, fe, n_steps, device_mesh=None):
     FEConfig(T_family="CG", T_degree=1),
     FEConfig(T_family="DG", T_degree=1),
 ])
+@pytest.mark.slow
 def test_sharded_matches_single_2d(devices, fe):
     mesh = box_mesh_2d(8, 8, 2.0, 2.0)
     T1, s1, _ = _solve(mesh, fe, 5)
@@ -46,6 +47,7 @@ def test_sharded_matches_single_2d(devices, fe):
     np.testing.assert_allclose(s8, s1, rtol=1e-10, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_sharded_3d_hex(devices):
     mesh = box_mesh_3d(4, 4, 2)
     fe = FEConfig(T_family="CG", T_degree=1)
@@ -56,6 +58,7 @@ def test_sharded_3d_hex(devices):
     np.testing.assert_allclose(s8, s1, rtol=1e-10, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_sharded_arrays_actually_distributed(devices):
     mesh = box_mesh_2d(8, 4)
     cfg = RunConfig(fe=FEConfig(), time=TimeConfig(0.0, 0.2, 0.1))
@@ -68,6 +71,7 @@ def test_sharded_arrays_actually_distributed(devices):
     prob.solve()
 
 
+@pytest.mark.slow
 def test_sharded_with_stencil_operator(devices):
     """shard_problem composes with linear_operator='stencil': the stencil
     tables are rebuilt from the padded sharded operator arrays and must

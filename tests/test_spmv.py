@@ -33,6 +33,7 @@ from fem_glass_tempering_tpu.ops.spmv import EllMatrix
     (lambda: box_mesh_3d(3, 3, 2), "CG", 1),
     (lambda: box_mesh_2d(4, 4), "DG", 1),
 ])
+@pytest.mark.slow
 def test_spmv_matches_jvp(mesher, fam, deg):
     mesh = mesher()
     fs = FunctionSpace(mesh, fam, deg)
@@ -66,6 +67,7 @@ def test_spmv_with_dirichlet():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_assembled_solve_matches_matrix_free():
     """Full coupled run with linear_operator='assembled' reproduces the
     matrix-free solution."""
@@ -109,6 +111,7 @@ def test_stencil_matches_jvp(mesher):
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_stencil_solve_matches_matrix_free():
     mesh = box_mesh_3d(4, 4, 2)
     sols = {}
@@ -132,6 +135,7 @@ def test_stencil_solve_matches_matrix_free():
     (lambda: box_mesh_2d(5, 4, 1.0, 0.5), 2),
     (lambda: box_mesh_3d(4, 3, 2, 1.0, 1.0, 0.01), 1),
 ])
+@pytest.mark.slow
 def test_dg_stencil_matches_jvp(mesher, deg):
     from fem_glass_tempering_tpu.ops.stencil import DGStencilMatrix
 
@@ -182,6 +186,7 @@ def test_dg_stencil_residual_diag_match_operator(mesher, deg):
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_dg_stencil_solve_matches_matrix_free():
     """Coupled DG-1 3D plate run: the gather-free DG block stencil must
     reproduce the matrix-free Newton-CG solution (the reference's default
@@ -207,6 +212,7 @@ def test_dg_stencil_solve_matches_matrix_free():
     lambda: box_mesh_3d(5, 4, 3, 1.0, 1.0, 0.01),
     lambda: box_mesh_2d(6, 5, 1.0, 0.5),
 ])
+@pytest.mark.slow
 def test_dg_constant_block_form_matches_table_form(mesher):
     """The DG constant-block decomposition (DGStencilMatrix.self_const —
     no materialized (C, nloc, nloc) table) == the full table path for
