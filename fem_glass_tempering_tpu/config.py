@@ -183,6 +183,16 @@ class SolverConfig:
     # sits at the f32 SIPG noise floor (1e-4), which is also the
     # forcing's never-looser clip floor.
     newton_inc_forcing: float | None = None
+    # Jacobian/preconditioner build cadence: "step" builds the frozen
+    # Krylov operator + V-cycle ONCE per time step at the step's initial
+    # temperature (the dominant per-Newton cost at 1M dofs — the 27-slot
+    # value-table bake + 7-level preconditioner build measured 12.3 ms
+    # per Newton iteration, profile r4); within-step temperature motion
+    # perturbs only the boundary-flux rows by O(dT/T), far inside the
+    # inexact-Newton forcing, and the convergence test always evaluates
+    # the EXACT residual. "newton" rebuilds at every Newton iterate
+    # (classic exact-Newton; the r3 behavior).
+    jac_lag: str = "step"
     # Equilibrium-mechanics elasticity solve: increment-relative CG
     # tolerance (pcg rtol_r0, solver/krylov.py). Each step's quasi-static
     # solve warm-starts from the previous displacement, so the residual

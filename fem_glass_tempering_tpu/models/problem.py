@@ -628,6 +628,18 @@ class ThermoViscoProblem:
                     matvec_fn = lambda T: ell.make_matvec(T, dt)
                 if sc.preconditioner == "jacobi":
                     diag_fn = lambda T: hres.jacobian_diag(T, dt)
+            if getattr(sc, "jac_lag", "step") == "step":
+                # once-per-step operator/preconditioner build at the
+                # step's initial temperature (SolverConfig.jac_lag)
+                if precond_fn is not None:
+                    _pc = precond_fn(state.T)
+                    precond_fn = lambda T, _p=_pc: _p
+                if matvec_fn is not None:
+                    _mv = matvec_fn(state.T)
+                    matvec_fn = lambda T, _m=_mv: _m
+                if diag_fn is not None:
+                    _dgn = diag_fn(state.T)
+                    diag_fn = lambda T, _d=_dgn: _d
             noise_fn = None
             inc_diag = None
             if noise_rel or inc_forcing:

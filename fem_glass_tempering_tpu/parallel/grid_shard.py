@@ -385,6 +385,19 @@ class GridShardedProblem:
                 else:
                     precond_fn = None
                     diag_fn = lambda T: op_main.jacobian_diag_g(T, dt)
+            if getattr(sc, "jac_lag", "step") == "step":
+                # once-per-step operator/preconditioner build (the same
+                # SolverConfig.jac_lag cadence as the single-device
+                # driver, models/problem.py)
+                if precond_fn is not None:
+                    _pc = precond_fn(state.T)
+                    precond_fn = lambda T, _p=_pc: _p
+                if matvec_fn is not None:
+                    _mv = matvec_fn(state.T)
+                    matvec_fn = lambda T, _m=_mv: _m
+                if diag_fn is not None:
+                    _dgn = diag_fn(state.T)
+                    diag_fn = lambda T, _d=_dgn: _d
             noise_fn = None
             if noise_rel:
                 def noise_fn(T):

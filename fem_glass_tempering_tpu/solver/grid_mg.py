@@ -167,6 +167,11 @@ class GridMG:
         assert self._frozen_rhos is not None, "call freeze_rhos(dt) first"
         matvecs, diags = [], []
         for op, T in zip(self.ops, T_levels):
+            # baked-table matvecs: the V-cycle applies each level's matvec
+            # ~5x per cycle inside the CG loop, where the per-apply
+            # face-flux form's slice updates measured 3x slower cycles
+            # (90 vs 40 ms/step at 1M, profile r4) — bake once per build,
+            # stream tables per apply
             vals = op.stencil_values_g(T, dt)
             if op.has_bc:
                 mask = op.bc_mask_g
