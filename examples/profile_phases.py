@@ -99,6 +99,10 @@ def main():
                     help="'bfloat16' streams the V-cycle value tables in "
                          "bf16 (half the dominant HBM traffic)")
     ap.add_argument("--skip-step", action="store_true")
+    ap.add_argument("--jac-every", type=int, default=1,
+                    help="rebuild the frozen operator/preconditioner "
+                         "every N steps inside the jitted window "
+                         "(SolverConfig.jac_every)")
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -110,6 +114,7 @@ def main():
         sc["mg_max_levels"] = args.mg_max_levels
     sc["mg_coarse"] = args.mg_coarse
     sc["mg_table_dtype"] = args.mg_table_dtype
+    sc["jac_every"] = args.jac_every
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1),
         time=TimeConfig(0.0, args.steps * 0.1, 0.1),

@@ -193,6 +193,13 @@ class SolverConfig:
     # the EXACT residual. "newton" rebuilds at every Newton iterate
     # (classic exact-Newton; the r3 behavior).
     jac_lag: str = "step"
+    # With jac_lag="step": rebuild the frozen operator/preconditioner
+    # every `jac_every` time steps inside the jitted multi-step loop
+    # (1 = every step). The per-step build is ~13 ms of the 33.6 ms 1M
+    # step (profile r4); over an early-transient window the temperature
+    # moves ~1 K/step at ~800 K, so a few-step-stale boundary-flux
+    # linearization stays far inside the inexact-Newton forcing.
+    jac_every: int = 1
     # Equilibrium-mechanics elasticity solve: increment-relative CG
     # tolerance (pcg rtol_r0, solver/krylov.py). Each step's quasi-static
     # solve warm-starts from the previous displacement, so the residual

@@ -588,7 +588,10 @@ class ThermoViscoProblem:
         if inc_forcing is None:
             inc_forcing = 0.05
 
-        def step(state: ViscoState, dt):
+        def build_ops(T_lin, dt):
+            """Frozen-linearization operator bundle at temperature T_lin
+            (the jac_lag/jac_every build: one per step or per chunk)."""
+            state_T = T_lin
             precond_fn = None
             matvec_fn = None
             diag_fn = None
@@ -607,7 +610,7 @@ class ThermoViscoProblem:
                     matvec_fn = lambda T: ell32.make_matvec(cast(T), dt32)
                 else:
                     # matrix-free: jvp of the f32 residual at the cast iterate
-                    Tp32 = cast(state.T)
+                    Tp32 = cast(state_T)
 
                     def matvec_fn(T):
                         T32 = cast(T)
@@ -629,16 +632,16 @@ class ThermoViscoProblem:
                 if sc.preconditioner == "jacobi":
                     diag_fn = lambda T: hres.jacobian_diag(T, dt)
             if getattr(sc, "jac_lag", "step") == "step":
-                # once-per-step operator/preconditioner build at the
-                # step's initial temperature (SolverConfig.jac_lag)
+                # frozen operator/preconditioner at the linearization
+                # temperature (SolverConfig.jac_lag)
                 if precond_fn is not None:
-                    _pc = precond_fn(state.T)
+                    _pc = precond_fn(state_T)
                     precond_fn = lambda T, _p=_pc: _p
                 if matvec_fn is not None:
-                    _mv = matvec_fn(state.T)
+                    _mv = matvec_fn(state_T)
                     matvec_fn = lambda T, _m=_mv: _m
                 if diag_fn is not None:
-                    _dgn = diag_fn(state.T)
+                    _dgn = diag_fn(state_T)
                     diag_fn = lambda T, _d=_dgn: _d
             noise_fn = None
             inc_diag = None
@@ -652,16 +655,28 @@ class ThermoViscoProblem:
                 # jacobian_diag costs 19.7 ms per call at 524k dofs
                 # (examples/profile_dg.py) vs ~0.5 ms for the f32 twin.
                 if mixed and hres32 is not None:
-                    inc_diag = hres32.jacobian_diag(cast(state.T), dt32)
-                    d32 = inc_diag * cast(state.T)
+                    inc_diag = hres32.jacobian_diag(cast(state_T), dt32)
+                    d32 = inc_diag * cast(state_T)
                     floor = (noise_rel * jnp.sqrt(jnp.vdot(d32, d32))
-                             ).astype(state.T.dtype)
+                             ).astype(state_T.dtype)
                 else:
-                    inc_diag = hres.jacobian_diag(state.T, dt)
-                    d = inc_diag * state.T
+                    inc_diag = hres.jacobian_diag(state_T, dt)
+                    d = inc_diag * state_T
                     floor = noise_rel * jnp.sqrt(jnp.vdot(d, d))
                 if noise_rel:
                     noise_fn = lambda T: floor
+            return dict(precond_fn=precond_fn, matvec_fn=matvec_fn,
+                        diag_fn=diag_fn, noise_fn=noise_fn,
+                        inc_diag=inc_diag)
+
+        def step(state: ViscoState, dt, ops=None):
+            if ops is None:
+                ops = build_ops(state.T, dt)
+            precond_fn = ops["precond_fn"]
+            matvec_fn = ops["matvec_fn"]
+            diag_fn = ops["diag_fn"]
+            noise_fn = ops["noise_fn"]
+            inc_diag = ops["inc_diag"]
             res = newton_solve(
                 lambda T: hres.residual(T, state.T, dt),
                 state.T,
@@ -712,17 +727,33 @@ class ThermoViscoProblem:
         self._step_jit = lambda state, dt=default_dt: _step_c(
             state, dt, bundle.collect())
 
+        jac_every = max(int(getattr(sc, "jac_every", 1)), 1)
+        chunked = jac_every > 1 and getattr(sc, "jac_lag", "step") == "step"
+
         def multi_step(state: ViscoState, n: int, dt, tbl):
             with bundle.bound(tbl):
-                def body(_, carry):
-                    st, ok, ni, ki = carry
-                    st2, conv, it, kit = step(st, dt)
-                    return st2, ok & conv, ni + it, ki + kit
-                return jax.lax.fori_loop(
-                    0, n,
-                    body,
-                    (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)),
-                )
+                carry = (state, jnp.bool_(True), jnp.int32(0),
+                         jnp.int32(0))
+                if not chunked:
+                    def body(_, carry):
+                        st, ok, ni, ki = carry
+                        st2, conv, it, kit = step(st, dt)
+                        return st2, ok & conv, ni + it, ki + kit
+                    return jax.lax.fori_loop(0, n, body, carry)
+                # jac_every chunking: rebuild the frozen operator bundle
+                # every jac_every steps (SolverConfig.jac_every); the
+                # Python loop unrolls n/jac_every chunk traces inside ONE
+                # jitted program
+                for c0 in range(0, n, jac_every):
+                    ops = build_ops(carry[0].T, dt)
+
+                    def body(_, carry, ops=ops):
+                        st, ok, ni, ki = carry
+                        st2, conv, it, kit = step(st, dt, ops)
+                        return st2, ok & conv, ni + it, ki + kit
+                    carry = jax.lax.fori_loop(
+                        0, min(jac_every, n - c0), body, carry)
+                return carry
 
         self._multi_step_inner = multi_step   # (state, n, dt, tbl) traced form
         self._multi_step_raw = lambda state, n, dt: multi_step(

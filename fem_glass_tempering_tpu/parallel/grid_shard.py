@@ -355,7 +355,10 @@ class GridShardedProblem:
         op_main = dg if is_dg else g
         op_fast = (dg32 or dg) if is_dg else (g32 or g)
 
-        def step(state: ViscoState, dt):
+        def build_ops(T_lin, dt):
+            """Frozen-linearization operator bundle (models/problem.py
+            build_ops, sharded twin): one build per step or per
+            jac_every chunk."""
             if mixed:
                 dt32 = jnp.asarray(dt, f32)
                 cast = lambda T: T.astype(f32)
@@ -386,17 +389,14 @@ class GridShardedProblem:
                     precond_fn = None
                     diag_fn = lambda T: op_main.jacobian_diag_g(T, dt)
             if getattr(sc, "jac_lag", "step") == "step":
-                # once-per-step operator/preconditioner build (the same
-                # SolverConfig.jac_lag cadence as the single-device
-                # driver, models/problem.py)
                 if precond_fn is not None:
-                    _pc = precond_fn(state.T)
+                    _pc = precond_fn(T_lin)
                     precond_fn = lambda T, _p=_pc: _p
                 if matvec_fn is not None:
-                    _mv = matvec_fn(state.T)
+                    _mv = matvec_fn(T_lin)
                     matvec_fn = lambda T, _m=_mv: _m
                 if diag_fn is not None:
-                    _dgn = diag_fn(state.T)
+                    _dgn = diag_fn(T_lin)
                     diag_fn = lambda T, _d=_dgn: _d
             noise_fn = None
             if noise_rel:
@@ -405,12 +405,24 @@ class GridShardedProblem:
                     return noise_rel * jnp.sqrt(jnp.vdot(d, d))
             inc_diag = None
             if inc_forcing:
-                # once-per-step magnitude scale (models/problem.py): the
-                # f32 twin when it exists, else the production operator
+                # frozen magnitude scale (models/problem.py): the f32
+                # twin when it exists, else the production operator
                 if mixed:
-                    inc_diag = op_fast.jacobian_diag_g(cast(state.T), dt32)
+                    inc_diag = op_fast.jacobian_diag_g(cast(T_lin), dt32)
                 else:
-                    inc_diag = op_main.jacobian_diag_g(state.T, dt)
+                    inc_diag = op_main.jacobian_diag_g(T_lin, dt)
+            return dict(precond_fn=precond_fn, matvec_fn=matvec_fn,
+                        diag_fn=diag_fn, noise_fn=noise_fn,
+                        inc_diag=inc_diag)
+
+        def step(state: ViscoState, dt, ops=None):
+            if ops is None:
+                ops = build_ops(state.T, dt)
+            precond_fn = ops["precond_fn"]
+            matvec_fn = ops["matvec_fn"]
+            diag_fn = ops["diag_fn"]
+            noise_fn = ops["noise_fn"]
+            inc_diag = ops["inc_diag"]
             res = newton_solve(
                 lambda T: op_main.residual_g(T, state.T, dt), state.T,
                 jac_diag_fn=diag_fn,
@@ -510,15 +522,30 @@ class GridShardedProblem:
         self._step_jit = lambda state, dt=default_dt: _step_c(
             state, dt, self._tbl)
 
+        jac_every = max(int(getattr(sc, "jac_every", 1)), 1)
+        chunked = (jac_every > 1
+                   and getattr(sc, "jac_lag", "step") == "step")
+
         def multi_step(state: ViscoState, n: int, dt, tbl):
             with bundle.bound(tbl):
-                def body(_, carry):
-                    st, ok, ni, ki = carry
-                    st2, conv, it, kit = step(st, dt)
-                    return st2, ok & conv, ni + it, ki + kit
-                return jax.lax.fori_loop(
-                    0, n, body,
-                    (state, jnp.bool_(True), jnp.int32(0), jnp.int32(0)))
+                carry = (state, jnp.bool_(True), jnp.int32(0),
+                         jnp.int32(0))
+                if not chunked:
+                    def body(_, carry):
+                        st, ok, ni, ki = carry
+                        st2, conv, it, kit = step(st, dt)
+                        return st2, ok & conv, ni + it, ki + kit
+                    return jax.lax.fori_loop(0, n, body, carry)
+                for c0 in range(0, n, jac_every):
+                    ops = build_ops(carry[0].T, dt)
+
+                    def body(_, carry, ops=ops):
+                        st, ok, ni, ki = carry
+                        st2, conv, it, kit = step(st, dt, ops)
+                        return st2, ok & conv, ni + it, ki + kit
+                    carry = jax.lax.fori_loop(
+                        0, min(jac_every, n - c0), body, carry)
+                return carry
 
         _ms = jax.jit(
             multi_step, static_argnums=1,
