@@ -268,8 +268,12 @@ class RunConfig:
     heat_form: str = "reference"
     # fp64 for parity runs, fp32 for TPU perf runs.
     dtype: str = "float64"
-    # hand-fused Pallas kernels for the hot pointwise chain (TPU perf path)
-    use_pallas: bool = False
+    # hand-fused Pallas kernels for the stencil matvec / pointwise chain.
+    # "auto" (default): select by size — the hand-tiled kernel's
+    # in-register lane rotates win below ~300k dofs (measured 0.010 vs
+    # 0.023 ms at 72k) and TIE the XLA flat form at 1M (0.171 vs 0.171 ms
+    # r4 A/B — both at the HBM roofline). True/False force it on/off.
+    use_pallas: bool | str = "auto"
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -293,7 +297,7 @@ class RunConfig:
             mechanics=raw.get("mechanics", "none"),
             xi_formula=raw.get("xi_formula", "reference"),
             dtype=raw.get("dtype", "float64"),
-            use_pallas=raw.get("use_pallas", False),
+            use_pallas=raw.get("use_pallas", "auto"),
         )
 
 

@@ -139,7 +139,12 @@ class ViscoelasticEngine:
         # (positive; hot glass relaxes, cold glass freezes) — required for
         # residual-stress inversion in full tempering runs.
         self.xi_formula = xi_formula
-        # hand-fused Pallas path for the T-space chain (eq5 + reference-xi)
+        # hand-fused Pallas path for the T-space chain (eq5 + reference-xi).
+        # "auto" resolves to off: the XLA-fused chain matches the hand
+        # kernel at every measured size (BENCH.md); the kernel stays as a
+        # validated opt-in (use_pallas=True)
+        if use_pallas == "auto":
+            use_pallas = False
         self.use_pallas = (bool(use_pallas) and shift_function == "eq5"
                            and xi_formula == "reference")
         self.fs_T = fs_T

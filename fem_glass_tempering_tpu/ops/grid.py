@@ -75,7 +75,16 @@ class GridHeatOperator:
         self.params = op.params
         self.dtype = op.dtype
         # hand-tiled Pallas matvec for the CG loop (TPU, f32, d>=2);
-        # the XLA pad+slice path is the portable fallback
+        # the XLA pad+slice path is the portable fallback. "auto"
+        # resolves to OFF (r4 retirement measurement): the kernel wins
+        # the ISOLATED matvec below ~300k dofs (0.010 vs 0.023 ms at
+        # 72k) and ties at 1M (0.171 vs 0.171 — both HBM roofline), but
+        # in the FULL step it measured 19.8 vs 12.4 ms/step at 72k
+        # (2026-08, jacobi config, 526 CG/step): engaging it displaces
+        # the const-row form + XLA's fusion of the matvec into the CG
+        # recurrence. Opt-in via use_pallas=True remains validated.
+        if use_pallas == "auto":
+            use_pallas = False
         self.use_pallas = bool(use_pallas)
         self.st = StencilMatrix(op, make_tables=False)
         self.pad0 = int(pad_axis0)
