@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--degree", type=int, default=2)
     ap.add_argument("--precond", default="amg")
+    ap.add_argument("--linear-operator", default="assembled",
+                    choices=("assembled", "matrix_free"))
     ap.add_argument("--chunk", type=int, default=2,
                     help="steps per dispatch: long single dispatches can "
                          "hit the remote tunnel's execution deadline "
@@ -56,7 +58,7 @@ def main():
         time=TimeConfig(0.0, args.steps * 0.1, 0.1),
         solver=SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
                             cg_rtol=1e-5, cg_max_it=4000,
-                            linear_operator="assembled",
+                            linear_operator=args.linear_operator,
                             preconditioner=args.precond),
         output=OutputConfig(write_every=0, formats=()),
         dtype="float32",

@@ -54,6 +54,7 @@ def main():
                     help="'bfloat16' streams the V-cycle value tables in "
                          "bf16 (half the preconditioner's HBM traffic)")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--jac-lag", default="step", choices=("step", "newton"))
     ap.add_argument("--chunk", type=int, default=0,
                     help="split the window into dispatches of this many "
                          "steps (0 = one dispatch): dispatches longer "
@@ -73,7 +74,7 @@ def main():
             cg_rtol=1e-12, cg_max_it=2000,
             preconditioner=args.precond, mg_smoother="chebyshev",
             linear_operator="stencil", cg_dtype="float32",
-            mg_table_dtype=args.mg_table_dtype),
+            mg_table_dtype=args.mg_table_dtype, jac_lag=args.jac_lag),
         output=OutputConfig(write_every=0, formats=()),
         dtype="float64",
     )

@@ -321,7 +321,10 @@ def test_dg_mixed_floor_convergence_16x16x8():
         res[cgd] = (np.asarray(st.T), prob.diagnostics.newton_iters,
                     prob.diagnostics.krylov_iters)
     T32, newton32, cg32 = res["float32"]
-    assert newton32 <= 18, f"Newton spun: {newton32} iterations for 2 steps"
+    # bound covers the jac_lag='step' default (lagged Jacobian converges
+    # linearly near the floor: measured 21 vs 10 iterations pre-lag; the
+    # on-chip A/B still favors the lag on wall-clock — BENCH.md r4)
+    assert newton32 <= 26, f"Newton spun: {newton32} iterations for 2 steps"
     assert cg32 <= 4000, f"inner CG burned {cg32} iterations"
     # the mixed-precision DG floor (penalty cancellation in the f32
     # matvec) is ~1e-3 K; full f64 agreement is NOT attainable here
