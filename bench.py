@@ -82,12 +82,12 @@ def run_backend(steps: int, preconditioner: str,
                               cg_rtol=1e-5, cg_max_it=4000,
                               linear_operator="stencil",
                               preconditioner=preconditioner,
-                              mg_smoother="chebyshev",
-                              # rebuild the frozen operator/V-cycle every
-                              # 5 steps (jac_lag/jac_every): 33.6 -> 26.4
-                              # ms/step at 1M, newton/cg 1.7/1.85 ->
-                              # 2.0/2.1 per step (profile r4)
-                              jac_every=5)
+                              # jac_every="auto" (default) resolves to 5
+                              # at this loose tolerance: frozen
+                              # operator/V-cycle rebuilt every 5 steps,
+                              # 33.6 -> 26.4 ms/step at 1M (profile r4);
+                              # the rtol12 branch auto-resolves to 1
+                              mg_smoother="chebyshev")
         dtype = "float32"
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=1,

@@ -174,6 +174,11 @@ MshResult* parse_msh(const char* path) {
         if (fscanf(f, "%ld %ld %ld %ld", &dim, &etag, &param, &n) != 4) {
           res->status = 3; fclose(f); return res;
         }
+        // parametric node blocks (param != 0) carry extra per-node
+        // coordinates this parser does not read; returning status 0 would
+        // hand back silently corrupted geometry — report unsupported so
+        // the caller falls back to the numpy parser (which raises)
+        if (param != 0) { res->status = 3; fclose(f); return res; }
         int64_t base = static_cast<int64_t>(tags.size());
         for (int64_t i = 0; i < n; ++i) {
           int64_t t; if (fscanf(f, "%ld", &t) != 1) { res->status = 3; fclose(f); return res; }
@@ -201,8 +206,13 @@ MshResult* parse_msh(const char* path) {
           if (etype >= 1 && etype <= 5) {
             for (int k = 0; k < kNV[etype]; ++k) {
               int64_t vt; if (fscanf(f, "%ld", &vt) != 1) { res->status = 4; fclose(f); return res; }
+              auto vit = tag2idx.find(vt);
+              // unknown node tag: operator[] would default-insert index 0
+              // and parse a malformed file 'successfully' with silently
+              // wrong connectivity (the numpy fallback raises on it)
+              if (vit == tag2idx.end()) { res->status = 4; fclose(f); return res; }
               cells_by_type[etype].push_back(
-                  static_cast<int32_t>(tag2idx[vt]));
+                  static_cast<int32_t>(vit->second));
             }
           } else {
             // consume rest of the line (unknown element node list)
@@ -327,6 +337,11 @@ MshResult2* parse_msh2(const char* path) {
         if (fscanf(f, "%ld %ld %ld %ld", &dim, &etag, &param, &n) != 4) {
           res->status = 3; fclose(f); return res;
         }
+        // parametric node blocks (param != 0) carry extra per-node
+        // coordinates this parser does not read; returning status 0 would
+        // hand back silently corrupted geometry — report unsupported so
+        // the caller falls back to the numpy parser (which raises)
+        if (param != 0) { res->status = 3; fclose(f); return res; }
         int64_t base = static_cast<int64_t>(tags.size());
         for (int64_t i = 0; i < n; ++i) {
           int64_t t; if (fscanf(f, "%ld", &t) != 1) { res->status = 3; fclose(f); return res; }
@@ -357,8 +372,10 @@ MshResult2* parse_msh2(const char* path) {
           if (keep) {
             for (int k = 0; k < nvArr[etype]; ++k) {
               int64_t vt; if (fscanf(f, "%ld", &vt) != 1) { res->status = 4; fclose(f); return res; }
+              auto vit = tag2idx.find(vt);
+              if (vit == tag2idx.end()) { res->status = 4; fclose(f); return res; }
               verts_by_type[etype].push_back(
-                  static_cast<int32_t>(tag2idx[vt]));
+                  static_cast<int32_t>(vit->second));
             }
             ptags_by_type[etype].push_back(phys);
           } else {

@@ -199,7 +199,15 @@ class SolverConfig:
     # step (profile r4); over an early-transient window the temperature
     # moves ~1 K/step at ~800 K, so a few-step-stale boundary-flux
     # linearization stays far inside the inexact-Newton forcing.
-    jac_every: int = 1
+    # "auto" (default) resolves by newton_rtol: 5 at loose tolerance
+    # (throughput regime — measured 33.6 -> 26.3 ms/step at 1M, rtol
+    # 1e-5), 1 at tight tolerance (newton_rtol <= 1e-10), where a
+    # 5-step-stale Jacobian blows the solve up instead of amortizing it
+    # (measured at rtol 1e-12, BENCH.md "jac_every tolerance
+    # sensitivity": Newton 40 -> 65 iters, CG 42 -> 375 — the
+    # modified-Newton linear-convergence tail dominates long before the
+    # build is amortized). An explicit int overrides either way.
+    jac_every: int | str = "auto"
     # Equilibrium-mechanics elasticity solve: increment-relative CG
     # tolerance (pcg rtol_r0, solver/krylov.py). Each step's quasi-static
     # solve warm-starts from the previous displacement, so the residual

@@ -727,7 +727,14 @@ class ThermoViscoProblem:
         self._step_jit = lambda state, dt=default_dt: _step_c(
             state, dt, bundle.collect())
 
-        jac_every = max(int(getattr(sc, "jac_every", 1)), 1)
+        jac_every = getattr(sc, "jac_every", 1)
+        if jac_every == "auto":
+            # tolerance-aware default (SolverConfig.jac_every): stale
+            # operators amortize only in the loose-tolerance throughput
+            # regime; at tight tolerance the modified-Newton tail costs
+            # far more than the build saves (A/B in BENCH.md)
+            jac_every = 1 if sc.newton_rtol <= 1e-10 else 5
+        jac_every = max(int(jac_every), 1)
         chunked = jac_every > 1 and getattr(sc, "jac_lag", "step") == "step"
 
         def multi_step(state: ViscoState, n: int, dt, tbl):

@@ -64,17 +64,31 @@ class _MshResult2(ctypes.Structure):
     ]
 
 
-def build_native_lib(verbose: bool = False) -> bool:
-    """Compile csrc/runtime.cpp -> libfgtruntime.so. Returns success."""
+def build_native_lib(verbose: bool = False, out_path: str | None = None) -> bool:
+    """Compile csrc/runtime.cpp -> libfgtruntime.so (or `out_path`).
+    Returns success."""
     try:
         cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-               "-o", _LIB_PATH, os.path.join(_SRC_DIR, "runtime.cpp")]
+               "-o", out_path or _LIB_PATH,
+               os.path.join(_SRC_DIR, "runtime.cpp")]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if verbose and r.returncode != 0:
             print(r.stderr)
         return r.returncode == 0
     except Exception:
         return False
+
+
+def _bind_base(lib) -> None:
+    lib.build_facets.restype = ctypes.POINTER(_FacetResult)
+    lib.build_facets.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.free_facet_result.argtypes = [ctypes.POINTER(_FacetResult)]
+    lib.parse_msh.restype = ctypes.POINTER(_MshResult)
+    lib.parse_msh.argtypes = [ctypes.c_char_p]
+    lib.free_msh_result.argtypes = [ctypes.POINTER(_MshResult)]
 
 
 def _load():
@@ -90,43 +104,42 @@ def _load():
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    lib.build_facets.restype = ctypes.POINTER(_FacetResult)
-    lib.build_facets.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-    ]
-    lib.free_facet_result.argtypes = [ctypes.POINTER(_FacetResult)]
-    lib.parse_msh.restype = ctypes.POINTER(_MshResult)
-    lib.parse_msh.argtypes = [ctypes.c_char_p]
-    lib.free_msh_result.argtypes = [ctypes.POINTER(_MshResult)]
+    _bind_base(lib)
     if not hasattr(lib, "parse_msh2"):
-        # stale library predating the physical-groups parser: rebuild once
-        del lib
-        if not build_native_lib():
-            return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            return None
-        lib.build_facets.restype = ctypes.POINTER(_FacetResult)
-        lib.build_facets.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        # Stale library predating the physical-groups parser: rebuild to a
+        # FRESH filename and dlopen that. Rebuilding in place and
+        # re-dlopening the same path can return the already-mapped old
+        # image (dlopen caches by path/inode when the compiler truncates
+        # in place), which would silently disable every native fast path
+        # for the session; a new path always maps the new image.
+        fresh = _LIB_PATH + ".rebuilt"
+        lib2 = None
+        if build_native_lib(out_path=fresh):
+            try:
+                lib2 = ctypes.CDLL(fresh)
+            except OSError:
+                lib2 = None
+        if lib2 is not None and hasattr(lib2, "parse_msh2"):
+            _bind_base(lib2)
+            lib = lib2
+            # promote the rebuilt library so future processes load it
+            try:
+                os.replace(fresh, _LIB_PATH)
+            except OSError:
+                pass
+        # else: keep the OLD handle for the symbols it does have (the
+        # msh2/partition entry points are hasattr-guarded below and in
+        # their wrappers) instead of disabling all native fast paths
+    if hasattr(lib, "parse_msh2"):
+        lib.parse_msh2.restype = ctypes.POINTER(_MshResult2)
+        lib.parse_msh2.argtypes = [ctypes.c_char_p]
+        lib.free_msh_result2.argtypes = [ctypes.POINTER(_MshResult2)]
+    if hasattr(lib, "partition_bfs"):
+        lib.partition_bfs.restype = ctypes.c_int32
+        lib.partition_bfs.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.free_facet_result.argtypes = [ctypes.POINTER(_FacetResult)]
-        lib.parse_msh.restype = ctypes.POINTER(_MshResult)
-        lib.parse_msh.argtypes = [ctypes.c_char_p]
-        lib.free_msh_result.argtypes = [ctypes.POINTER(_MshResult)]
-        if not hasattr(lib, "parse_msh2"):
-            return None
-    lib.parse_msh2.restype = ctypes.POINTER(_MshResult2)
-    lib.parse_msh2.argtypes = [ctypes.c_char_p]
-    lib.free_msh_result2.argtypes = [ctypes.POINTER(_MshResult2)]
-    lib.partition_bfs.restype = ctypes.c_int32
-    lib.partition_bfs.argtypes = [
-        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-    ]
     _LIB = lib
     return _LIB
 
@@ -191,7 +204,7 @@ def native_parse_msh2(path: str):
     facet_verts (n_fel, fnv) or None, facet_tags (n_fel,) or None),
     or None if the library is unavailable."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "parse_msh2"):
         return None
     res = lib.parse_msh2(path.encode())
     try:
@@ -224,7 +237,7 @@ def native_partition_bfs(mesh, n_parts: int):
     """Greedy-BFS contiguous partition over facet adjacency; returns
     (n_cells,) part ids or None."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "partition_bfs"):
         return None
     inter = np.ascontiguousarray(
         np.stack([mesh.interior_cell_p, mesh.interior_local_facet_p,
