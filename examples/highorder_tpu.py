@@ -2,12 +2,14 @@
 
 The reference's spaces are degree-configurable
 (/root/reference/ThermoViscoProblem.py:77-100); this measures the TPU
-row for CG-2 on the 3D plate with the best preconditioner the
-unstructured-order path supports (frozen smoothed-aggregation AMG,
-solver/amg.py) over the gather-assembled ELL operator.
+row for CG-2 on the 3D plate. Default path (r5): the lattice-native
+sum-factorized Q2 operator + line-smoothed p-MG over the embedded CG-1
+hierarchy (ops/grid2.py) — the round-4 gather paths (ELL + frozen
+SA-AMG, kept as --precond amg --linear-operator assembled) measured
+4.8 s/step at 112k dofs and crashed the worker at >=235k.
 
 Usage: python examples/highorder_tpu.py [--nx 64 --ny 64 --nz 16]
-       [--steps 6] [--degree 2]
+       [--steps 6] [--degree 2] [--rtol12]
 Prints one JSON line: ms/step + iteration counts + dof count.
 """
 
@@ -41,10 +43,13 @@ def main():
     ap.add_argument("--nz", type=int, default=12)
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--degree", type=int, default=2)
-    ap.add_argument("--precond", default="amg")
-    ap.add_argument("--linear-operator", default="assembled",
-                    choices=("assembled", "matrix_free"))
-    ap.add_argument("--chunk", type=int, default=2,
+    ap.add_argument("--precond", default="mg")
+    ap.add_argument("--linear-operator", default="stencil",
+                    choices=("stencil", "assembled", "matrix_free"))
+    ap.add_argument("--rtol12", action="store_true",
+                    help="matched-tolerance row: Newton rtol 1e-12, "
+                         "f64 outer / f32 Krylov (mixed precision)")
+    ap.add_argument("--chunk", type=int, default=1,
                     help="steps per dispatch: long single dispatches can "
                          "hit the remote tunnel's execution deadline "
                          "(observed as UNAVAILABLE device errors)")
@@ -52,16 +57,28 @@ def main():
 
     t0 = time.perf_counter()
     mesh = box_mesh_3d(args.nx, args.ny, args.nz, lx=1.0, ly=1.0, lz=0.01)
+    if args.rtol12:
+        solver = SolverConfig(newton_rtol=1e-12, newton_atol=1e-10,
+                              cg_rtol=1e-12, cg_max_it=2000,
+                              linear_operator=args.linear_operator,
+                              preconditioner=args.precond,
+                              mg_smoother="chebyshev",
+                              cg_dtype="float32")
+        dtype = "float64"
+    else:
+        solver = SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
+                              cg_rtol=1e-5, cg_max_it=4000,
+                              linear_operator=args.linear_operator,
+                              preconditioner=args.precond,
+                              mg_smoother="chebyshev")
+        dtype = "float32"
     cfg = RunConfig(
         fe=FEConfig(T_family="CG", T_degree=args.degree,
                     sigma_family="CG", sigma_degree=1),
         time=TimeConfig(0.0, args.steps * 0.1, 0.1),
-        solver=SolverConfig(newton_rtol=1e-5, newton_atol=1e-6,
-                            cg_rtol=1e-5, cg_max_it=4000,
-                            linear_operator=args.linear_operator,
-                            preconditioner=args.precond),
+        solver=solver,
         output=OutputConfig(write_every=0, formats=()),
-        dtype="float32",
+        dtype=dtype,
     )
     prob = ThermoViscoProblem(mesh=mesh, config=cfg)
     prob.setup()

@@ -51,7 +51,13 @@ def main():
     ap.add_argument("--mech-inc-rtol", type=float, default=None,
                     help="increment-relative elasticity tolerance "
                          "(default auto = 0.01; 0 disables)")
+    ap.add_argument("--jac-every", default="auto",
+                    help="operator/preconditioner rebuild cadence "
+                         "(int or 'auto'); the mechanics V-cycle lag "
+                         "rides the same chunking")
     args = ap.parse_args()
+    jac_every = (args.jac_every if args.jac_every == "auto"
+                 else int(args.jac_every))
 
     t0 = time.perf_counter()
     params = dataclasses.replace(ModelParams(), T_0=900.0)  # above Tb
@@ -63,6 +69,7 @@ def main():
                             cg_rtol=1e-5, cg_max_it=2000,
                             preconditioner="mg", mg_smoother="chebyshev",
                             linear_operator="stencil",
+                            jac_every=jac_every,
                             mech_inc_rtol=args.mech_inc_rtol),
         output=OutputConfig(write_every=0, formats=()),
         params=params,

@@ -208,6 +208,13 @@ class SolverConfig:
     # modified-Newton linear-convergence tail dominates long before the
     # build is amortized). An explicit int overrides either way.
     jac_every: int | str = "auto"
+
+    def resolved_jac_every(self) -> int:
+        """Resolve jac_every='auto' by Newton tolerance (see field doc)."""
+        je = self.jac_every
+        if je == "auto":
+            je = 1 if self.newton_rtol <= 1e-10 else 5
+        return max(int(je), 1)
     # Equilibrium-mechanics elasticity solve: increment-relative CG
     # tolerance (pcg rtol_r0, solver/krylov.py). Each step's quasi-static
     # solve warm-starts from the previous displacement, so the residual

@@ -51,6 +51,11 @@ class MechanicsCoupling:
         self.I = f(np.eye(self.d))
         self.last_cg_iters = None
 
+    def build_precond(self, state):
+        """Gather-path coupling has no lagged preconditioner (Jacobi-CG
+        only) — duck-typed no-op matching GridMechanicsCoupling."""
+        return None
+
     def _T_at_q(self, arr):
         """T-space dof array -> (c, q) values at elasticity quad points."""
         return jnp.einsum("ql,cl->cq", self.tab_T, arr[self.dof_T])
@@ -165,7 +170,40 @@ class GridMechanicsCoupling:
                                   frozen_moduli=frozen,
                                   use_tables=use_tables)
 
-    def __call__(self, state, xi, scalar_th):
+    def _moduli_at(self, xi_g):
+        """Effective Prony tangent moduli (G_q, K_q) at the scaled-time
+        field xi_g (grid-shaped nodal values -> per-cell-quad)."""
+        eng = self.engine
+        xi_q = self.el.cell_avg_from_nodes(xi_g)          # (*dims, q)
+        G_eff = jnp.sum(
+            eng.g_n * eng._relax_factor(
+                xi_q[..., None] / eng.lambda_g_n), axis=-1)
+        K_eff = jnp.sum(
+            eng.k_n * eng._relax_factor(
+                xi_q[..., None] / eng.lambda_k_n), axis=-1)
+        return G_eff, K_eff
+
+    def build_precond(self, state):
+        """Frozen elasticity PRECONDITIONER at the chunk-start state (the
+        mechanics analog of SolverConfig.jac_every, VERDICT r4 #2): the
+        V-cycle build — per-level block-stencil tables, column-smoother
+        block-Thomas factorizations, power-iteration spectrum bounds —
+        was measured as a 30.9 ms/step PROLOGUE rebuilt every step at
+        64x64x16 (examples/profile_mech.py) for a quasi-static solve
+        whose tangents barely move between steps. The CG SYSTEM stays
+        exact: matvec/rhs/diag are rebuilt fresh per step in __call__;
+        only the preconditioner closure is reused, which perturbs
+        iteration counts, never the solution. Returns None when no MG is
+        configured."""
+        if self.mg is None:
+            return None
+        xi = state.xi
+        if not self.grid_shaped:
+            xi = xi.reshape(self.el.grid)
+        G_eff, K_eff = self._moduli_at(xi)
+        return self.mg.preconditioner_g(G_eff, K_eff)
+
+    def __call__(self, state, xi, scalar_th, precond=None):
         el = self.el
         eng = self.engine
         grid = el.grid
@@ -177,15 +215,9 @@ class GridMechanicsCoupling:
             xi_g = xi.reshape(grid)
             th_g = scalar_th.reshape(grid)
 
-        xi_q = el.cell_avg_from_nodes(xi_g)               # (*dims, q)
         th_q = el.cell_avg_from_nodes(th_g)
         eps0_q = th_q[..., None, None] * self.I
-        G_eff = jnp.sum(
-            eng.g_n * eng._relax_factor(
-                xi_q[..., None] / eng.lambda_g_n), axis=-1)
-        K_eff = jnp.sum(
-            eng.k_n * eng._relax_factor(
-                xi_q[..., None] / eng.lambda_k_n), axis=-1)
+        G_eff, K_eff = self._moduli_at(xi_g)
 
         # decayed history stress at the nodes, then at quad points
         ref = eng.mode == "reference"
@@ -201,7 +233,7 @@ class GridMechanicsCoupling:
         sigma_hist = jnp.sum(s_src * texp_g + sig_src * texp_k, axis=-3)
         sigma_hist_q = el.tensor_at_q(sigma_hist)         # (*dims, q, d, d)
 
-        zero = jnp.zeros(grid + (d,), dtype=xi_q.dtype)
+        zero = jnp.zeros(grid + (d,), dtype=G_eff.dtype)
         b = -el.residual_g(zero, sigma_hist_q, eps0_q, G_eff, K_eff)
         if self.use_tables:
             tbl = el.stencil_table_g(G_eff, K_eff)
@@ -210,8 +242,9 @@ class GridMechanicsCoupling:
             tbl = None
             mv = el.make_matvec_g(G_eff, K_eff)
         diag = el.jacobian_diag_g(G_eff, K_eff)
-        precond = (self.mg.preconditioner_g(G_eff, K_eff, fine_table=tbl)
-                   if self.mg is not None else None)
+        if precond is None and self.mg is not None:
+            precond = self.mg.preconditioner_g(G_eff, K_eff,
+                                               fine_table=tbl)
         # warm start from the previous step's displacement (state.du):
         # the quasi-static solution drifts slowly between steps, and
         # pcg's convergence test stays relative to ||b|| — same accuracy,

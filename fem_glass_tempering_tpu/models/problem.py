@@ -190,8 +190,11 @@ class ThermoViscoProblem:
             # the reference preconditions with GAMG unconditionally
             # (/root/reference/ThermoViscoProblem.py:344); resolve to the
             # strongest equivalent this mesh/space supports
-            if (self.mesh.structured is not None and self.fs_T.degree == 1
-                    and self.fs_T.family in ("CG", "DG")):
+            if (self.mesh.structured is not None
+                    and ((self.fs_T.degree == 1
+                          and self.fs_T.family in ("CG", "DG"))
+                         or (self.fs_T.degree == 2
+                             and self.fs_T.family == "CG"))):
                 resolved = "mg"
             else:
                 resolved = "amg"
@@ -243,6 +246,18 @@ class ThermoViscoProblem:
             except ValueError:
                 if getattr(sc, "grid_native", "auto") == "on":
                     raise
+        # CG-2 lattice-native path (ops/grid2.py): sum-factorized Kron
+        # operator on the Q2 dof lattice — the high-order fast path
+        # (BASELINE config #4); gather assembly stays the fallback
+        self._grid2 = None
+        if (self._grid is None
+                and getattr(sc, "grid_native", "auto") != "off"):
+            from fem_glass_tempering_tpu.ops.grid2 import GridHeatOperator2
+            try:
+                self._grid2 = GridHeatOperator2(
+                    self.heat, flux_marker=flux_marker)
+            except ValueError:
+                pass
         _mark("grid_native")
         self._mech = None
         if self.config.mechanics == "equilibrium":
@@ -291,11 +306,15 @@ class ThermoViscoProblem:
         self._mixed = (getattr(sc, "cg_dtype", "same") == "float32"
                        and self.dtype == jnp.float64)
         if sc.preconditioner == "mg" and not self._mixed:
-            if (self.mesh.structured is None or self.fs_T.degree != 1
-                    or self.fs_T.family not in ("CG", "DG")):
+            if (self.mesh.structured is None
+                    or self.fs_T.family not in ("CG", "DG")
+                    or self.fs_T.degree > 2
+                    or (self.fs_T.degree == 2
+                        and self.fs_T.family != "CG")):
                 raise ValueError(
                     "preconditioner='mg' needs a structured box mesh with a "
-                    "CG-1 or DG-1 temperature space; use 'jacobi' otherwise")
+                    "CG-1/CG-2 or DG-1 temperature space; use 'jacobi' "
+                    "otherwise")
             from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
             from fem_glass_tempering_tpu.solver.multigrid import (
                 DGMultigrid,
@@ -310,7 +329,18 @@ class ThermoViscoProblem:
                                     bc_value=bc_val, form=heat_form)
 
             import jax.numpy as _jnp
-            if self.fs_T.family == "DG":
+            if self.fs_T.degree == 2:
+                # CG-2: p-MG over the embedded CG-1 lattice (ops/grid2.py)
+                from fem_glass_tempering_tpu.ops.grid2 import Q2MG
+                if self._grid2 is None:
+                    raise ValueError(
+                        "CG-2 'mg' needs the lattice-native operator "
+                        "(grid_native must not be 'off')")
+                self._mg = Q2MG(self._grid2, make_operator,
+                                nu_pre=sc.mg_nu_pre, nu_post=sc.mg_nu_post,
+                                mg_kwargs={"smoother": sc.mg_smoother})
+                self._mg.freeze_rhos(self.dt)
+            elif self.fs_T.family == "DG":
                 self._dg_mg = DGMultigrid(
                     self.heat, make_operator, dtype=self.dtype,
                     smoother=getattr(sc, "dg_smoother", "auto"),
@@ -342,6 +372,7 @@ class ThermoViscoProblem:
         # per ThermoViscoProblem.py:336)
         _mark("precond_f64")
         self._heat32 = self._grid32 = self._mg32 = self._dg_mg32 = None
+        self._grid2_32 = None
         if self._mixed:
             f32 = jnp.float32
             self._heat32 = HeatOperator(
@@ -356,13 +387,22 @@ class ThermoViscoProblem:
                 self._grid32 = GridHeatOperator(
                     self._heat32, use_pallas=self.config.use_pallas,
                     flux_marker=flux_marker, allow_const=False)
+            if self._grid2 is not None:
+                from fem_glass_tempering_tpu.ops.grid2 import (
+                    GridHeatOperator2,
+                )
+                self._grid2_32 = GridHeatOperator2(
+                    self._heat32, flux_marker=flux_marker)
             _mark("grid32_twin")
             if sc.preconditioner == "mg":
-                if (self.mesh.structured is None or self.fs_T.degree != 1
-                        or self.fs_T.family not in ("CG", "DG")):
+                if (self.mesh.structured is None
+                        or self.fs_T.family not in ("CG", "DG")
+                        or self.fs_T.degree > 2
+                        or (self.fs_T.degree == 2
+                            and self.fs_T.family != "CG")):
                     raise ValueError(
                         "preconditioner='mg' needs a structured box mesh "
-                        "with a CG-1 or DG-1 temperature space")
+                        "with a CG-1/CG-2 or DG-1 temperature space")
                 from fem_glass_tempering_tpu.fem.functionspace import (
                     FunctionSpace,
                 )
@@ -380,7 +420,19 @@ class ThermoViscoProblem:
 
                 T0 = jnp.full(self.fs_T.n_scalar_dofs, self.params.T_0,
                               dtype=f32)
-                if self.fs_T.family == "DG":
+                if self.fs_T.degree == 2:
+                    from fem_glass_tempering_tpu.ops.grid2 import Q2MG
+                    if self._grid2_32 is None:
+                        raise ValueError(
+                            "CG-2 'mg' needs the lattice-native operator "
+                            "(grid_native must not be 'off')")
+                    self._mg32 = Q2MG(
+                        self._grid2_32, make_operator32,
+                        nu_pre=sc.mg_nu_pre, nu_post=sc.mg_nu_post,
+                        mg_kwargs={"smoother": sc.mg_smoother})
+                    self._mg32.freeze_rhos(self.dt)
+                    _mark("q2_mg32_freeze")
+                elif self.fs_T.family == "DG":
                     self._dg_mg32 = DGMultigrid(
                         self._heat32, make_operator32, dtype=f32,
                         smoother=getattr(sc, "dg_smoother", "auto"),
@@ -490,9 +542,10 @@ class ThermoViscoProblem:
 
         mg = self._mg
         mech_fn = self._mech
-        grid = self._grid
+        grid = self._grid if self._grid is not None else self._grid2
         # the grid-native path subsumes HeatOperator for residual/diag and
-        # StencilMatrix for the Jacobian action
+        # StencilMatrix for the Jacobian action (CG-1 GridHeatOperator or
+        # the CG-2 lattice operator — same duck-typed surface)
         hres = grid if grid is not None else heat
         ell = None
         if sc.linear_operator == "assembled":
@@ -530,11 +583,13 @@ class ThermoViscoProblem:
 
         # mixed precision: f32 operator twins for the inner CG
         mixed = self._mixed
+        grid32 = (self._grid32 if self._grid32 is not None
+                  else self._grid2_32)
         ell32 = None
         if mixed:
             if sc.linear_operator == "stencil":
-                if self._grid32 is not None:
-                    ell32 = self._grid32
+                if grid32 is not None:
+                    ell32 = grid32
                 elif self._dg_mg32 is not None:
                     # share the DG p-MG's table-form block stencil: the
                     # CG-loop matvec rides the same materialized tables
@@ -550,8 +605,8 @@ class ThermoViscoProblem:
                 from fem_glass_tempering_tpu.ops.spmv import EllMatrix
                 ell32 = EllMatrix(self._heat32)
         heat32 = self._heat32
-        hres32 = self._grid32 if self._grid32 is not None else heat32
-        if (self._grid32 is None and ell32 is not None
+        hres32 = grid32 if grid32 is not None else heat32
+        if (grid32 is None and ell32 is not None
                 and type(ell32).__name__ == "DGStencilMatrix"):
             hres32 = ell32
         elif mixed and hres32 is heat32 and heat32 is not None and heat32.is_dg:
@@ -588,10 +643,15 @@ class ThermoViscoProblem:
         if inc_forcing is None:
             inc_forcing = 0.05
 
-        def build_ops(T_lin, dt):
-            """Frozen-linearization operator bundle at temperature T_lin
-            (the jac_lag/jac_every build: one per step or per chunk)."""
-            state_T = T_lin
+        def build_ops(lin_state, dt, lag_mech=False):
+            """Frozen-linearization operator bundle at the chunk-start
+            state (the jac_lag/jac_every build: one per step or per
+            chunk). `lag_mech` additionally freezes the elasticity
+            V-cycle (models/mechanics.py build_precond) — engaged only
+            for multi-step chunks: per-step it just duplicates the
+            fine-table build __call__ shares with its own V-cycle
+            (A/B at 64x64x16: 82 vs 64 ms/step)."""
+            state_T = lin_state.T
             precond_fn = None
             matvec_fn = None
             diag_fn = None
@@ -665,13 +725,15 @@ class ThermoViscoProblem:
                     floor = noise_rel * jnp.sqrt(jnp.vdot(d, d))
                 if noise_rel:
                     noise_fn = lambda T: floor
+            mech_pre = (mech_fn.build_precond(lin_state)
+                        if (lag_mech and mech_fn is not None) else None)
             return dict(precond_fn=precond_fn, matvec_fn=matvec_fn,
                         diag_fn=diag_fn, noise_fn=noise_fn,
-                        inc_diag=inc_diag)
+                        inc_diag=inc_diag, mech_pre=mech_pre)
 
         def step(state: ViscoState, dt, ops=None):
             if ops is None:
-                ops = build_ops(state.T, dt)
+                ops = build_ops(state, dt)
             precond_fn = ops["precond_fn"]
             matvec_fn = ops["matvec_fn"]
             diag_fn = ops["diag_fn"]
@@ -700,7 +762,12 @@ class ThermoViscoProblem:
                                  else None),
                 inc_forcing=inc_forcing, inc_diag=inc_diag,
             )
-            new_state = engine.material_step(state, res.x, dt, mech=mech_fn)
+            mech_call = mech_fn
+            if ops.get("mech_pre") is not None:
+                mech_call = (lambda st, xi, th, _p=ops["mech_pre"]:
+                             mech_fn(st, xi, th, precond=_p))
+            new_state = engine.material_step(state, res.x, dt,
+                                             mech=mech_call)
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 
@@ -713,7 +780,7 @@ class ThermoViscoProblem:
         # parameters with zero per-call cost.
         from fem_glass_tempering_tpu.utils.jitargs import TableBundle
         bundle = TableBundle()
-        for obj in (grid, heat, ell, mg, dg_mg, amg, amg32, self._grid32,
+        for obj in (grid, heat, ell, mg, dg_mg, amg, amg32, grid32,
                     self._heat32, self._mg32, self._dg_mg32, ell32, engine,
                     mech_fn):
             bundle.register_operator(obj)
@@ -727,14 +794,11 @@ class ThermoViscoProblem:
         self._step_jit = lambda state, dt=default_dt: _step_c(
             state, dt, bundle.collect())
 
-        jac_every = getattr(sc, "jac_every", 1)
-        if jac_every == "auto":
-            # tolerance-aware default (SolverConfig.jac_every): stale
-            # operators amortize only in the loose-tolerance throughput
-            # regime; at tight tolerance the modified-Newton tail costs
-            # far more than the build saves (A/B in BENCH.md)
-            jac_every = 1 if sc.newton_rtol <= 1e-10 else 5
-        jac_every = max(int(jac_every), 1)
+        # tolerance-aware default (SolverConfig.resolved_jac_every): stale
+        # operators amortize only in the loose-tolerance throughput
+        # regime; at tight tolerance the modified-Newton tail costs far
+        # more than the build saves (A/B in BENCH.md)
+        jac_every = sc.resolved_jac_every()
         chunked = jac_every > 1 and getattr(sc, "jac_lag", "step") == "step"
 
         def multi_step(state: ViscoState, n: int, dt, tbl):
@@ -752,7 +816,7 @@ class ThermoViscoProblem:
                 # Python loop unrolls n/jac_every chunk traces inside ONE
                 # jitted program
                 for c0 in range(0, n, jac_every):
-                    ops = build_ops(carry[0].T, dt)
+                    ops = build_ops(carry[0], dt, lag_mech=True)
 
                     def body(_, carry, ops=ops):
                         st, ok, ni, ki = carry

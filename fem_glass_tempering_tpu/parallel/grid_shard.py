@@ -355,10 +355,12 @@ class GridShardedProblem:
         op_main = dg if is_dg else g
         op_fast = (dg32 or dg) if is_dg else (g32 or g)
 
-        def build_ops(T_lin, dt):
+        def build_ops(lin_state, dt, lag_mech=False):
             """Frozen-linearization operator bundle (models/problem.py
             build_ops, sharded twin): one build per step or per
-            jac_every chunk."""
+            jac_every chunk. `lag_mech` freezes the elasticity V-cycle —
+            chunked path only (see models/problem.py rationale)."""
+            T_lin = lin_state.T
             if mixed:
                 dt32 = jnp.asarray(dt, f32)
                 cast = lambda T: T.astype(f32)
@@ -411,13 +413,17 @@ class GridShardedProblem:
                     inc_diag = op_fast.jacobian_diag_g(cast(T_lin), dt32)
                 else:
                     inc_diag = op_main.jacobian_diag_g(T_lin, dt)
+            # lagged elasticity V-cycle (models/mechanics.py
+            # build_precond): the mech CG system stays fresh per step
+            mech_pre = (mech_fn.build_precond(lin_state)
+                        if (lag_mech and mech_fn is not None) else None)
             return dict(precond_fn=precond_fn, matvec_fn=matvec_fn,
                         diag_fn=diag_fn, noise_fn=noise_fn,
-                        inc_diag=inc_diag)
+                        inc_diag=inc_diag, mech_pre=mech_pre)
 
         def step(state: ViscoState, dt, ops=None):
             if ops is None:
-                ops = build_ops(state.T, dt)
+                ops = build_ops(state, dt)
             precond_fn = ops["precond_fn"]
             matvec_fn = ops["matvec_fn"]
             diag_fn = ops["diag_fn"]
@@ -435,8 +441,12 @@ class GridShardedProblem:
                 cg_cast=f32 if mixed else None,
                 inc_forcing=inc_forcing, inc_diag=inc_diag,
             )
+            mech_call = mech_fn
+            if ops.get("mech_pre") is not None:
+                mech_call = (lambda st, xi, th, _p=ops["mech_pre"]:
+                             mech_fn(st, xi, th, precond=_p))
             new_state = engine.material_step_with(state, res.x, ident, dt,
-                                                  mech=mech_fn)
+                                                  mech=mech_call)
             finite = jnp.isfinite(res.x).all()
             return new_state, res.converged & finite, res.iters, res.krylov_iters
 
@@ -522,7 +532,7 @@ class GridShardedProblem:
         self._step_jit = lambda state, dt=default_dt: _step_c(
             state, dt, self._tbl)
 
-        jac_every = max(int(getattr(sc, "jac_every", 1)), 1)
+        jac_every = sc.resolved_jac_every()
         chunked = (jac_every > 1
                    and getattr(sc, "jac_lag", "step") == "step")
 
@@ -537,7 +547,7 @@ class GridShardedProblem:
                         return st2, ok & conv, ni + it, ki + kit
                     return jax.lax.fori_loop(0, n, body, carry)
                 for c0 in range(0, n, jac_every):
-                    ops = build_ops(carry[0].T, dt)
+                    ops = build_ops(carry[0], dt, lag_mech=True)
 
                     def body(_, carry, ops=ops):
                         st, ok, ni, ki = carry

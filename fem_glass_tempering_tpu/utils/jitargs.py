@@ -68,6 +68,17 @@ class TableBundle:
             self.register(op, ("vals_mass", "vals_stiff", "cols",
                                "b_flat_idx"))
             self.register_operator(op.op)
+        elif name == "GridHeatOperator2":
+            self.register(op, ("bands_m", "bands_k", "M1g",
+                               "bc_mask", "bc_values", "bc_mask_g",
+                               "bc_values_g", "_face_phiphi"))
+            for face in op.faces:
+                self.register(face, ("qw", "phi"))
+            self.register_operator(op.op)
+        elif name == "Q2MG":
+            self.register_operator(op.fine)
+            self.register_operator(op.g1)
+            self.register_operator(op.gmg)
         elif name == "GridHeatOperator":
             self.register(op, ("vals_mass", "vals_stiff", "M1g",
                                "crow_mass", "crow_stiff",
