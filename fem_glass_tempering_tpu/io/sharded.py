@@ -32,14 +32,25 @@ def _piece_name(field: str, step: int, off: int) -> str:
 
 
 class ShardedSeriesWriter:
-    """Streaming per-shard snapshot writer for grid-shaped ViscoStates."""
+    """Streaming per-shard snapshot writer for grid-shaped ViscoStates.
+
+    `cell_grid`/`cell_pad0`/`cell_fields` describe the DG layout: T-space
+    fields of a sharded-DG state live CELL-grid-shaped (cx, cy, cz, nloc)
+    with their own ghost-layer pad (parallel/grid_shard.py cell_pad0),
+    while sigma-space fields stay node-grid-shaped — the reader trims and
+    reshapes per field."""
 
     def __init__(self, out_dir: str, fields: tuple = ("T", "Tf", "sigma"),
-                 grid: tuple | None = None, pad0: int = 0):
+                 grid: tuple | None = None, pad0: int = 0,
+                 cell_grid: tuple | None = None, cell_pad0: int = 0,
+                 cell_fields: tuple = ()):
         self.dir = out_dir
         self.fields = tuple(fields)
         self.grid = tuple(grid) if grid is not None else None
         self.pad0 = int(pad0)
+        self.cell_grid = tuple(cell_grid) if cell_grid is not None else None
+        self.cell_pad0 = int(cell_pad0)
+        self.cell_fields = tuple(cell_fields)
         self.times: list[float] = []
         os.makedirs(out_dir, exist_ok=True)
 
@@ -57,6 +68,9 @@ class ShardedSeriesWriter:
         idx = {"fields": list(self.fields), "times": self.times,
                "n_steps": len(self.times), "grid": self.grid,
                "pad0": self.pad0,
+               "cell_grid": self.cell_grid,
+               "cell_pad0": self.cell_pad0,
+               "cell_fields": list(self.cell_fields),
                "process_count": jax.process_count()}
         # one index per process; process 0's is authoritative for times
         name = ("index.json" if jax.process_index() == 0
@@ -74,8 +88,19 @@ def read_sharded_series(out_dir: str, flat: bool = True) -> dict:
         idx = json.load(fh)
     grid = tuple(idx["grid"]) if idx["grid"] else None
     pad0 = idx["pad0"]
+    cell_grid = (tuple(idx["cell_grid"])
+                 if idx.get("cell_grid") else None)
+    cell_pad0 = idx.get("cell_pad0", 0)
+    cell_fields = set(idx.get("cell_fields", ()))
     out = {"times": np.asarray(idx["times"])}
     for f in idx["fields"]:
+        is_cell = f in cell_fields
+        f_grid = cell_grid if is_cell else grid
+        f_pad = cell_pad0 if is_cell else pad0
+        # cell-grid fields carry a trailing local-dof axis before any
+        # tensor axes — the flat layout is (cells*nloc, ...extra)
+        f_glen = (len(f_grid) + 1 if (is_cell and f_grid is not None)
+                  else (len(f_grid) if f_grid is not None else None))
         steps = []
         for k in range(idx["n_steps"]):
             names = sorted(n for n in os.listdir(out_dir)
@@ -85,10 +110,10 @@ def read_sharded_series(out_dir: str, flat: bool = True) -> dict:
                 with np.load(os.path.join(out_dir, n)) as z:
                     pieces.append(z["data"])
             g = np.concatenate(pieces, axis=0)
-            if pad0:
-                g = g[:-pad0]
-            if flat and grid is not None:
-                extra = g.shape[len(grid):]
+            if f_pad:
+                g = g[:-f_pad]
+            if flat and f_glen is not None:
+                extra = g.shape[f_glen:]
                 g = g.reshape((-1,) + extra)
             steps.append(g)
         out[f] = np.stack(steps)

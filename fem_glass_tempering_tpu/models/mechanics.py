@@ -28,6 +28,27 @@ from fem_glass_tempering_tpu.fem.functionspace import FunctionSpace
 from fem_glass_tempering_tpu.ops.elasticity import ElasticityOperator
 
 
+class DGNodeMechAdapter:
+    """Adapts GridMechanicsCoupling to a DG T space: the elasticity solve
+    lives on the sigma-space NODE grid, so the DG dof arrays (xi,
+    thermal-strain scalar) are converted through the T->sigma cross-eval
+    (last-cell-wins vertex map) first — the same semantics as the sharded
+    DG path (parallel/grid_shard.py), which makes single-device and
+    sharded DG mechanics agree to solver tolerance."""
+
+    def __init__(self, inner, ev):
+        self.inner = inner
+        self._ev = ev
+
+    def __call__(self, state, xi, scalar_th, precond=None):
+        return self.inner(state, self._ev("T", xi),
+                          self._ev("T", scalar_th), precond=precond)
+
+    def build_precond(self, state):
+        return self.inner.build_precond(
+            state._replace(xi=self._ev("T", state.xi)))
+
+
 class MechanicsCoupling:
     def __init__(self, fs_T: FunctionSpace, fs_sigma: FunctionSpace,
                  engine, dtype=jnp.float64, cg_rtol: float = 1e-10,

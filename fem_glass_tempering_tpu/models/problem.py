@@ -279,12 +279,24 @@ class ThermoViscoProblem:
             mech_inc = self.config.solver.mech_inc_rtol
             if mech_inc is None:
                 mech_inc = 1e-2
-            if self._grid is not None:
+            if self._grid is not None or (
+                    self.fs_T.family == "DG"
+                    and self.mesh.structured is not None):
                 try:
-                    self._mech = GridMechanicsCoupling(
+                    gm = GridMechanicsCoupling(
                         self.fs_sigma, self.engine, dtype=self.dtype,
                         cg_rtol=mech_rtol, cg_max_it=mech_max_it,
                         inc_rtol=mech_inc)
+                    if self.fs_T.family == "DG":
+                        # DG T space: node-grid elasticity through the
+                        # cross-eval (models/mechanics.py adapter) —
+                        # matches the sharded-DG semantics
+                        from fem_glass_tempering_tpu.models.mechanics \
+                            import DGNodeMechAdapter
+                        self._mech = DGNodeMechAdapter(
+                            gm, self.engine.to_sigma.eval)
+                    else:
+                        self._mech = gm
                 except ValueError:
                     pass
             if self._mech is None:

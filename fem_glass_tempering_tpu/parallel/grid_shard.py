@@ -190,13 +190,16 @@ class GridShardedProblem:
 
         sc = config.solver
         dims = tuple(mesh.structured["dims"])
-        if dims[0] % self.n_devices:
-            raise ValueError(
-                f"sharded DG needs cell-grid axis 0 ({dims[0]}) divisible "
-                f"by the device count ({self.n_devices})")
-        if config.mechanics == "equilibrium":
-            raise ValueError("equilibrium mechanics under sharded DG is "
-                             "not supported yet — use the CG-1 path")
+        # cell-grid axis 0 need not divide the device count: T-space state
+        # fields are PADDED with edge-replicated ghost cell layers up to a
+        # device multiple (explicit NamedSharding requires divisibility),
+        # and the step body slices back to the physical cell grid before
+        # the unpadded operators run — GSPMD handles the uneven
+        # intermediate shardings internally. Ghost layers are
+        # re-edge-padded from the solved fields at step exit, so they
+        # never influence physics (equivalence tested vs single-device,
+        # tests/test_grid_dg.py).
+        self.cell_pad0 = (-dims[0]) % self.n_devices
         self.cell_dims = dims
         self._vert_offs, self._ngrid_base = dg_vertex_offsets(mesh)
         self.nloc = self.fs_T.element.nloc
@@ -218,7 +221,25 @@ class GridShardedProblem:
             self.dg_op32 = GridDGOperator(heat32)
         self.grid_op = self.grid_op32 = None
         self.grid_mg = None
+        # equilibrium mechanics under sharded DG: the elasticity solve
+        # lives on the NODE grid (sigma space) exactly as in the CG path;
+        # the step body converts the cell-grid xi / thermal-strain scalar
+        # through the DG->CG vertex map before calling it (_build_step)
         self.mech = None
+        if config.mechanics == "equilibrium":
+            from fem_glass_tempering_tpu.models.mechanics import (
+                GridMechanicsCoupling,
+            )
+            mech_rtol = min(sc.cg_rtol, 1e-8)
+            if self.dtype == jnp.float32:
+                mech_rtol = max(mech_rtol, 2e-6)
+            mech_inc = getattr(sc, "mech_inc_rtol", None)
+            if mech_inc is None:
+                mech_inc = 1e-2
+            self.mech = GridMechanicsCoupling(
+                self.fs_sigma, self.engine, dtype=self.dtype,
+                cg_rtol=mech_rtol, inc_rtol=mech_inc,
+                pad_axis0=self.pad0, grid_shaped=True)
         self.dg_mg = None
         if sc.preconditioner == "mg":
             from fem_glass_tempering_tpu.solver.multigrid import DGMultigrid
@@ -260,8 +281,13 @@ class GridShardedProblem:
             if name == "t" or a is None:
                 return a
             if self._is_cellgrid(name):
-                return a.reshape(self.cell_dims + (self.nloc,)
-                                 + a.shape[1:])
+                g = a.reshape(self.cell_dims + (self.nloc,)
+                              + a.shape[1:])
+                cp = getattr(self, "cell_pad0", 0)
+                if cp:
+                    pc = [(0, cp)] + [(0, 0)] * (g.ndim - 1)
+                    g = jnp.pad(g, pc, mode="edge")
+                return g
             g = a.reshape(base + a.shape[1:])
             if self.pad0:
                 pc = [(0, self.pad0)] + [(0, 0)] * (g.ndim - 1)
@@ -275,6 +301,9 @@ class GridShardedProblem:
             if name == "t" or a is None:
                 return a
             if self._is_cellgrid(name):
+                cp = getattr(self, "cell_pad0", 0)
+                if cp:
+                    a = a[: a.shape[0] - cp]
                 d = len(self.cell_dims) + 1       # + local-dof axis
                 extra = a.shape[d:]
                 return a.reshape((-1,) + extra)
@@ -326,6 +355,24 @@ class GridShardedProblem:
 
         mg = self.grid_mg
         mech_fn = self.mech
+        if self.is_dg and mech_fn is not None:
+            # the elasticity coupling consumes NODE-grid scalars; convert
+            # the cell-grid xi / thermal-strain args through the DG->CG
+            # vertex map (the engine's other sigma-space inputs already
+            # ride through `ident`)
+            _mech_raw = mech_fn
+
+            class _DGMech:
+                @staticmethod
+                def __call__(st, xi, th, precond=None):
+                    return _mech_raw(st, ident("T", xi), ident("T", th),
+                                     precond=precond)
+
+                @staticmethod
+                def build_precond(st):
+                    return _mech_raw.build_precond(
+                        st._replace(xi=ident("T", st.xi)))
+            mech_fn = _DGMech()
         g32 = self.grid_op32
         mixed = self._mixed
         f32 = jnp.float32
@@ -354,6 +401,28 @@ class GridShardedProblem:
         # below is element-family-agnostic
         op_main = dg if is_dg else g
         op_fast = (dg32 or dg) if is_dg else (g32 or g)
+
+        # DG cell-grid ghost layers (state-level pad for non-divisible
+        # cell axes): slice off at step entry, edge-pad back at exit.
+        cpad = getattr(self, "cell_pad0", 0) if is_dg else 0
+        cell_fields = self._TSPACE_FIELDS if is_dg else frozenset()
+
+        def unpad_cs(st: ViscoState) -> ViscoState:
+            if not cpad:
+                return st
+            return ViscoState(**{
+                k: (jax.lax.slice_in_dim(v, 0, v.shape[0] - cpad, axis=0)
+                    if (k in cell_fields and v is not None) else v)
+                for k, v in zip(ViscoState._fields, st)})
+
+        def pad_cs(st: ViscoState) -> ViscoState:
+            if not cpad:
+                return st
+            return ViscoState(**{
+                k: (jnp.pad(v, [(0, cpad)] + [(0, 0)] * (v.ndim - 1),
+                            mode="edge")
+                    if (k in cell_fields and v is not None) else v)
+                for k, v in zip(ViscoState._fields, st)})
 
         def build_ops(lin_state, dt, lag_mech=False):
             """Frozen-linearization operator bundle (models/problem.py
@@ -422,6 +491,7 @@ class GridShardedProblem:
                         inc_diag=inc_diag, mech_pre=mech_pre)
 
         def step(state: ViscoState, dt, ops=None):
+            state = unpad_cs(state)
             if ops is None:
                 ops = build_ops(state, dt)
             precond_fn = ops["precond_fn"]
@@ -448,7 +518,8 @@ class GridShardedProblem:
             new_state = engine.material_step_with(state, res.x, ident, dt,
                                                   mech=mech_call)
             finite = jnp.isfinite(res.x).all()
-            return new_state, res.converged & finite, res.iters, res.krylov_iters
+            return (pad_cs(new_state), res.converged & finite, res.iters,
+                    res.krylov_iters)
 
         # operator tables as jit arguments (see utils/jitargs.py) — baked
         # constants would exceed the remote-compile payload limit at
@@ -475,8 +546,9 @@ class GridShardedProblem:
                 for op in mg.ops[1:]:
                     bundle.register(op, ("vals_mass", "vals_stiff", "M1g",
                                          "bc_mask_g", "bc_values_g"))
-        if mech_fn is not None:
-            bundle.register_operator(mech_fn)
+        if self.mech is not None:
+            # register the RAW coupling (the DG adapter is a thin shim)
+            bundle.register_operator(self.mech)
         self._bundle = bundle
         shard = NamedSharding(self.dev_mesh, P(AXIS))
         rep = NamedSharding(self.dev_mesh, P())
@@ -547,7 +619,7 @@ class GridShardedProblem:
                         return st2, ok & conv, ni + it, ki + kit
                     return jax.lax.fori_loop(0, n, body, carry)
                 for c0 in range(0, n, jac_every):
-                    ops = build_ops(carry[0], dt, lag_mech=True)
+                    ops = build_ops(unpad_cs(carry[0]), dt, lag_mech=True)
 
                     def body(_, carry, ops=ops):
                         st, ok, ni, ki = carry
@@ -594,11 +666,19 @@ class GridShardedProblem:
         writer = None
         if we and we > 0 and oc.formats:
             from fem_glass_tempering_tpu.io.sharded import ShardedSeriesWriter
+            cell_kw = {}
+            if self.is_dg:
+                cp = getattr(self, "cell_pad0", 0)
+                cell_kw = dict(
+                    cell_grid=(self.cell_dims[0] + cp,)
+                    + self.cell_dims[1:],
+                    cell_pad0=cp,
+                    cell_fields=tuple(sorted(self._TSPACE_FIELDS)))
             writer = ShardedSeriesWriter(
                 f"{oc.output_dir}/sharded_series",
                 fields=tuple(f for f in oc.npz_fields
                              if f in ViscoState._fields),
-                grid=self.grid, pad0=self.pad0)
+                grid=self.grid, pad0=self.pad0, **cell_kw)
         t0 = _time.time()
         t = 0.0
         done = 0

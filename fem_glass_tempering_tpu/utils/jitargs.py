@@ -88,6 +88,8 @@ class TableBundle:
             self.register_operator(op.op)
         elif name == "GridElasticityOperator":
             self.register(op, ("pin_mask_g", "qw1", "phi1", "gphi1"))
+        elif name == "DGNodeMechAdapter":
+            self.register_operator(op.inner)
         elif name == "GridMechanicsCoupling":
             self.register_operator(op.el)
             if op.mg is not None:

@@ -186,3 +186,70 @@ def test_sharded_dg_arrays_distributed():
     shards = T.addressable_shards
     assert len(shards) == 8
     assert all(s.data.shape[0] == 1 for s in shards)
+
+
+@pytest.mark.slow
+def test_sharded_dg_nondivisible_matches_single_device():
+    """Cell axis 0 NOT divisible by the device count: the state-level
+    ghost-cell pad (parallel/grid_shard.py cell_pad0) keeps explicit
+    shardings legal while the step computes on the physical cell grid —
+    fields match the single-device driver (VERDICT r4 #5 pad path)."""
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+    from fem_glass_tempering_tpu.parallel.grid_shard import GridShardedProblem
+
+    steps = 2
+    mesh = box_mesh_3d(12, 4, 3, 1.0, 1.0, 0.01)   # 12 % 8 != 0
+    cfg = _run_cfg(steps)
+
+    single = ThermoViscoProblem(mesh=mesh, config=cfg)
+    single.setup()
+    st_s, ok_s, _, _ = single._multi_step_jit(single.state, steps)
+    assert bool(ok_s)
+
+    shard = GridShardedProblem(mesh, cfg)
+    assert shard.cell_pad0 == 4
+    st_p, ok_p, _, _ = shard.run(shard.init_state(), steps)
+    assert ok_p
+    flat = shard.gather_state(st_p)
+    T_s, T_p = np.asarray(st_s.T), np.asarray(flat.T)
+    assert np.abs(T_p - T_s).max() / np.abs(T_s).max() < 1e-9
+    sg_s, sg_p = np.asarray(st_s.sigma), np.asarray(flat.sigma)
+    sscale = max(np.abs(sg_s).max(), 1e-30)
+    assert np.abs(sg_p - sg_s).max() / sscale < 1e-8
+
+
+@pytest.mark.slow
+def test_sharded_dg_with_equilibrium_mechanics():
+    """Equilibrium mechanics under sharded DG (the last r4 exclusion,
+    parallel/grid_shard.py): cell-grid xi/thermal-strain convert through
+    the DG->CG vertex map into the node-grid elasticity solve; fields
+    match the single-device DG + mechanics driver."""
+    import dataclasses
+
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+    from fem_glass_tempering_tpu.parallel.grid_shard import GridShardedProblem
+
+    steps = 2
+    mesh = box_mesh_3d(8, 4, 3, 1.0, 1.0, 0.01)
+    cfg = dataclasses.replace(
+        _run_cfg(steps), mechanics="equilibrium",
+        physics_mode="corrected", xi_formula="trapezoid")
+
+    single = ThermoViscoProblem(mesh=mesh, config=cfg)
+    single.setup()
+    st_s, ok_s, _, _ = single._multi_step_jit(single.state, steps)
+    assert bool(ok_s)
+
+    shard = GridShardedProblem(mesh, cfg)
+    assert shard.mech is not None
+    st_p, ok_p, _, _ = shard.run(shard.init_state(), steps)
+    assert ok_p
+    flat = shard.gather_state(st_p)
+    T_s, T_p = np.asarray(st_s.T), np.asarray(flat.T)
+    assert np.abs(T_p - T_s).max() / np.abs(T_s).max() < 1e-9
+    sg_s, sg_p = np.asarray(st_s.sigma), np.asarray(flat.sigma)
+    sscale = max(np.abs(sg_s).max(), 1e-30)
+    # different elasticity solvers (flat gather vs grid MG) at cg rtol
+    # 1e-8: agreement to the solve tolerance, not bitwise
+    assert np.abs(sg_p - sg_s).max() / sscale < 1e-5, \
+        np.abs(sg_p - sg_s).max() / sscale
