@@ -112,3 +112,44 @@ def test_oracle_confirms_golden_anchors():
     assert o["Tf"][np.argmin(x)] == pytest.approx(799.8808751898703, rel=1e-10)
     assert float(np.linalg.norm(o["sigma"])) == pytest.approx(
         0.00013725924857443605, rel=1e-9)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("family", ["CG", "DG"])
+def test_framework_matches_3d_oracle(family):
+    """3D differential anchor (VERDICT r4 missing #2): the coupled
+    framework transient on a small 3D box matches the independent
+    scipy/numpy oracle (validation/oracle_3d.py — Kronecker closed-form
+    CG assembly, explicit sparse SIPG, assembled-Jacobian Newton + direct
+    solves, literal material chain with live deviatoric branch) for BOTH
+    elements. T/Tf to ~1e-13; sigma/xi to ~1e-9 — their comparison is
+    amplified by the xi cancellation (xi = dt/2*(phi_next - phi), a tiny
+    difference of near-equal exponentials), the same fp-noise mechanism
+    test_literal_fp_eq15_noise_floor pins in 1D."""
+    from fem_glass_tempering_tpu.config import (
+        FEConfig, OutputConfig, RunConfig, SolverConfig, TimeConfig,
+    )
+    from fem_glass_tempering_tpu.fem.mesh import box_mesh_3d
+    from fem_glass_tempering_tpu.models.problem import ThermoViscoProblem
+    from fem_glass_tempering_tpu.validation.oracle_3d import run_oracle_3d
+
+    dims, lengths = (4, 3, 2), (1.0, 0.8, 0.05)
+    steps = 10
+    cfg = RunConfig(
+        fe=FEConfig(T_family=family, T_degree=1,
+                    sigma_family="CG", sigma_degree=1),
+        time=TimeConfig(0.0, steps * 0.1, 0.1),
+        solver=SolverConfig(newton_rtol=1e-13, newton_atol=1e-14,
+                            cg_rtol=1e-13, cg_max_it=3000,
+                            jac_lag="newton"),
+        output=OutputConfig(write_every=0, formats=()),
+        dtype="float64")
+    prob = ThermoViscoProblem(mesh=box_mesh_3d(*dims, *lengths), config=cfg)
+    prob.setup()
+    st = prob.solve()
+    o = run_oracle_3d(dims, lengths, steps, 0.1, T_family=family)
+    assert _rel(np.asarray(st.T), o["T"]) < 1e-12
+    assert _rel(np.asarray(st.Tf), o["Tf"]) < 1e-12
+    assert _rel(np.asarray(st.phi), o["phi"]) < 1e-10
+    assert _rel(np.asarray(st.xi), o["xi"]) < 3e-9
+    assert _rel(np.asarray(st.sigma), o["sigma"]) < 3e-9
