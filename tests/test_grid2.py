@@ -96,6 +96,35 @@ def test_grid2_stiffness_annihilates_constants_exactly():
     assert float(jnp.abs(g2._stiff3(c)).max()) == 0.0
 
 
+def test_q2mg_smoke_quick():
+    """Quick-tier Q2MG coverage: tiny plate, line smoother engaged,
+    Newton converges with few MG-CG iterations (the full-strength
+    comparisons against Jacobi are in the slow tier below)."""
+    mesh = box_mesh_3d(6, 6, 3, lx=1.0, ly=1.0, lz=0.01)
+    fs = FunctionSpace(mesh, "CG", 2)
+    p = ModelParams()
+    op = HeatOperator(fs, p, DT, dtype=jnp.float64)
+    g2 = GridHeatOperator2(op)
+
+    def make_op(level_mesh):
+        return HeatOperator(FunctionSpace(level_mesh, "CG", 1), p, DT,
+                            dtype=jnp.float64)
+
+    mg = Q2MG(g2, make_op)
+    assert mg.smoother == "line"
+    mg.freeze_rhos(DT)
+    T0 = jnp.full(fs.n_scalar_dofs, 800.0)
+    res = newton_solve(
+        lambda T: g2.residual(T, T0, DT), T0,
+        matvec_fn=lambda T: g2.make_matvec(T, DT),
+        precond_fn=lambda T: mg.preconditioner(
+            mg.linearization_states(T), DT),
+        rtol=1e-10, atol=1e-10, cg_rtol=1e-10, cg_max_it=200)
+    assert bool(res.converged)
+    assert int(res.krylov_iters) < 80
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("geom", ["iso", "plate"])
 def test_q2mg_preconditioned_newton(geom):
     """Q2MG-preconditioned Newton at reference tolerance matches the
