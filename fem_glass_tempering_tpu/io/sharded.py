@@ -43,7 +43,7 @@ class ShardedSeriesWriter:
     def __init__(self, out_dir: str, fields: tuple = ("T", "Tf", "sigma"),
                  grid: tuple | None = None, pad0: int = 0,
                  cell_grid: tuple | None = None, cell_pad0: int = 0,
-                 cell_fields: tuple = ()):
+                 cell_fields: tuple = (), cell_local_axis: bool = True):
         self.dir = out_dir
         self.fields = tuple(fields)
         self.grid = tuple(grid) if grid is not None else None
@@ -51,6 +51,9 @@ class ShardedSeriesWriter:
         self.cell_grid = tuple(cell_grid) if cell_grid is not None else None
         self.cell_pad0 = int(cell_pad0)
         self.cell_fields = tuple(cell_fields)
+        # DG cell grids carry a trailing local-dof axis; Q2 lattice
+        # grids do not (the flat layout is just the C-order lattice)
+        self.cell_local_axis = bool(cell_local_axis)
         self.times: list[float] = []
         os.makedirs(out_dir, exist_ok=True)
 
@@ -71,6 +74,7 @@ class ShardedSeriesWriter:
                "cell_grid": self.cell_grid,
                "cell_pad0": self.cell_pad0,
                "cell_fields": list(self.cell_fields),
+               "cell_local_axis": self.cell_local_axis,
                "process_count": jax.process_count()}
         # one index per process; process 0's is authoritative for times
         name = ("index.json" if jax.process_index() == 0
@@ -97,9 +101,11 @@ def read_sharded_series(out_dir: str, flat: bool = True) -> dict:
         is_cell = f in cell_fields
         f_grid = cell_grid if is_cell else grid
         f_pad = cell_pad0 if is_cell else pad0
-        # cell-grid fields carry a trailing local-dof axis before any
-        # tensor axes — the flat layout is (cells*nloc, ...extra)
-        f_glen = (len(f_grid) + 1 if (is_cell and f_grid is not None)
+        # DG cell-grid fields carry a trailing local-dof axis before any
+        # tensor axes — the flat layout is (cells*nloc, ...extra); Q2
+        # lattice fields do not (cell_local_axis=False)
+        loc = 1 if idx.get("cell_local_axis", True) else 0
+        f_glen = (len(f_grid) + loc if (is_cell and f_grid is not None)
                   else (len(f_grid) if f_grid is not None else None))
         steps = []
         for k in range(idx["n_steps"]):

@@ -716,7 +716,11 @@ class Q2MG:
 
     def __init__(self, fine: GridHeatOperator2, make_heat_operator, *,
                  nu_pre: int = 2, nu_post: int = 2, smoother: str = "auto",
-                 mg_kwargs: dict | None = None):
+                 mg_kwargs: dict | None = None, coarse_pad0: int = 0):
+        """`coarse_pad0` pads the CG-1 coarse chain's node-grid axis 0
+        with identity ghost rows (the GSPMD divisibility pad,
+        parallel/grid_shard.py); the restrict/prolong boundary in
+        preconditioner_g pads/slices accordingly."""
         from fem_glass_tempering_tpu.ops.grid import GridHeatOperator
         from fem_glass_tempering_tpu.solver.grid_mg import GridMG
         self.fine = fine
@@ -740,7 +744,8 @@ class Q2MG:
         if heat1.fs.degree != 1 or heat1.fs.family != "CG":
             raise ValueError("make_heat_operator must build the CG-1 "
                              "operator for the coarse chain")
-        self.g1 = GridHeatOperator(heat1, allow_const=False)
+        self.g1 = GridHeatOperator(heat1, pad_axis0=coarse_pad0,
+                                   allow_const=False)
         self.gmg = GridMG(self.g1, make_heat_operator,
                           **(mg_kwargs or {}))
         self._rho2 = None
@@ -756,15 +761,22 @@ class Q2MG:
     def freeze_omegas(self, T0, dt) -> None:
         self.freeze_rhos(dt)
 
-    def linearization_states(self, T: jnp.ndarray):
-        """Per-level frozen temperatures: Q2 lattice grid, then the CG-1
-        chain by injection (even lattice points ARE the CG-1 nodal
-        values; deeper levels by GridMG's even-node injection)."""
-        Tg = T.reshape(self.fine.grid)
+    def linearization_states_g(self, Tg: jnp.ndarray):
+        """Grid-shaped per-level frozen temperatures: Q2 lattice grid,
+        then the CG-1 chain by injection (even lattice points ARE the
+        CG-1 nodal values; deeper levels by GridMG's even-node
+        injection). The coarse node grid is padded to the GridMG fine
+        level's (possibly ghost-padded) axis-0 extent."""
         T1 = Tg
         for a in range(self.fine.d):
             T1 = jax.lax.slice_in_dim(T1, 0, T1.shape[a], stride=2, axis=a)
+        if self.gmg.pad0:
+            pc = [(0, self.gmg.pad0)] + [(0, 0)] * (T1.ndim - 1)
+            T1 = jnp.pad(T1, pc, mode="edge")
         return [Tg] + self.gmg.linearization_states_g(T1)
+
+    def linearization_states(self, T: jnp.ndarray):
+        return self.linearization_states_g(T.reshape(self.fine.grid))
 
     def _restrict(self, rg):
         from fem_glass_tempering_tpu.solver.multigrid import GeometricMG
@@ -897,13 +909,16 @@ class Q2MG:
             v = w / nw
         return rho * 1.1
 
-    def preconditioner(self, T_levels, dt):
+    def preconditioner_g(self, T_levels, dt):
+        """Grid-shaped V-cycle apply (r_lattice -> ~A^-1 r_lattice) — no
+        flat reshapes, so a sharded lattice stays sharded end to end."""
         assert self._rho2 is not None, "call freeze_rhos(dt) first"
         fine = self.fine
         mv = fine.make_matvec_g(T_levels[0], dt)
         diag = fine.jacobian_diag_g(T_levels[0], dt)
         coarse = self.gmg.preconditioner_g(T_levels[1:], dt)
         nu_pre, nu_post = self.nu_pre, self.nu_post
+        gmg_pad0 = self.gmg.pad0
         if self.smoother == "line":
             zsolve = self._line_solver(T_levels[0], dt)
             rho = self._power_rho(mv, zsolve, fine.grid, fine.dtype)
@@ -940,12 +955,24 @@ class Q2MG:
 
         smooth = smooth_jac if self.smoother == "jacobi" else smooth_cheb
 
-        def apply(r):
-            rg = r.reshape(fine.grid)
+        def apply_g(rg):
             x = smooth(jnp.zeros_like(rg), rg, nu_pre)
             res = rg - mv(x)
-            xc = coarse(self._restrict(res))
+            rc = self._restrict(res)
+            if gmg_pad0:
+                pc = [(0, gmg_pad0)] + [(0, 0)] * (rc.ndim - 1)
+                rc = jnp.pad(rc, pc)     # zero residual on ghost rows
+            xc = coarse(rc)
+            if gmg_pad0:
+                xc = jax.lax.slice_in_dim(
+                    xc, 0, xc.shape[0] - gmg_pad0, axis=0)
             x = x + self._prolong(xc)
             x = smooth(x, rg, nu_post)
-            return x.reshape(-1)
-        return apply
+            return x
+        return apply_g
+
+    def preconditioner(self, T_levels, dt):
+        """Flat-vector apply (single-device driver interface)."""
+        apply_g = self.preconditioner_g(T_levels, dt)
+        grid = self.fine.grid
+        return lambda r: apply_g(r.reshape(grid)).reshape(-1)

@@ -54,14 +54,18 @@ class GridShardedProblem:
 
     def __init__(self, mesh: FEMesh, config: RunConfig, devices=None):
         fe = config.fe
-        if fe.T_family not in ("CG", "DG") or fe.T_degree != 1:
-            raise ValueError("GridShardedProblem needs a CG-1 or DG-1 "
-                             "T space")
+        if fe.T_family == "DG" and fe.T_degree != 1:
+            raise ValueError("GridShardedProblem supports DG degree 1")
+        if fe.T_family == "CG" and fe.T_degree not in (1, 2):
+            raise ValueError("GridShardedProblem supports CG degree 1-2")
+        if fe.T_family not in ("CG", "DG"):
+            raise ValueError("GridShardedProblem needs a CG or DG T space")
         if fe.sigma_family != "CG" or fe.sigma_degree != 1:
             raise ValueError("GridShardedProblem needs a CG-1 sigma space")
         if mesh.structured is None:
             raise ValueError("GridShardedProblem needs a structured box mesh")
         self.is_dg = fe.T_family == "DG"
+        self.is_q2 = fe.T_family == "CG" and fe.T_degree == 2
         if config.solver.preconditioner == "auto":
             # structured degree-1 is guaranteed here (checks above): 'auto'
             # resolves to grid-native (p-)MG, the GAMG equivalent
@@ -77,7 +81,7 @@ class GridShardedProblem:
         if jax.config.jax_default_matmul_precision is None:
             jax.config.update("jax_default_matmul_precision", "highest")
 
-        self.fs_T = FunctionSpace(mesh, fe.T_family, 1)
+        self.fs_T = FunctionSpace(mesh, fe.T_family, fe.T_degree)
         self.fs_sigma = FunctionSpace(mesh, "CG", 1,
                                       value_shape=(mesh.tdim, mesh.tdim))
         self.params = config.params
@@ -96,6 +100,11 @@ class GridShardedProblem:
                        and self.dtype == jnp.float64)
         if self.is_dg:
             self._init_dg(mesh, config, heat_form)
+            self._build_shardings()
+            self._build_step()
+            return
+        if self.is_q2:
+            self._init_q2(mesh, config, heat_form)
             self._build_shardings()
             self._build_step()
             return
@@ -263,11 +272,83 @@ class GridShardedProblem:
                                else "auto")})
             self.dg_mg.freeze(float(self.params.T_0), self.dt)
 
+    # ------------------------------------------------------------------
+    def _init_q2(self, mesh: FEMesh, config: RunConfig,
+                 heat_form: str) -> None:
+        """CG-2 temperature under GSPMD: the T-space state lives on the
+        Q2 dof LATTICE (2n+1 per axis) sharded along axis 0 with a
+        state-level ghost pad (the DG cell_pad0 mechanism — explicit
+        shardings need divisibility; the step computes on the physical
+        lattice). The heat solve is the sum-factorized lattice operator
+        (ops/grid2.py) whose banded passes and face-plane flux are pure
+        pad/slice/elementwise — XLA partitions them with halo
+        collective-permutes — and the preconditioner is Q2MG's
+        grid-shaped apply with its CG-1 GridMG coarse chain padded the
+        same way as the CG-1 flagship path."""
+        from fem_glass_tempering_tpu.ops.grid2 import (
+            GridHeatOperator2,
+            Q2MG,
+        )
+
+        sc = config.solver
+        dims = tuple(mesh.structured["dims"])
+        self.lat_base = tuple(2 * n + 1 for n in dims)
+        self.lat_pad0 = (-self.lat_base[0]) % self.n_devices
+        # sigma node grid pads like the CG-1 path
+        gx = dims[0] + 1
+        self.pad0 = (-gx) % self.n_devices
+        self.grid = (gx + self.pad0,) + tuple(n + 1 for n in dims[1:])
+        self._ngrid_base = tuple(n + 1 for n in dims)
+        self.heat = HeatOperator(self.fs_T, self.params, self.dt,
+                                 dtype=self.dtype, form=heat_form)
+        self.q2_op = GridHeatOperator2(self.heat)
+        self.q2_op32 = None
+        heat32 = None
+        if self._mixed:
+            heat32 = HeatOperator(self.fs_T, self.params, self.dt,
+                                  dtype=jnp.float32, form=heat_form)
+            self.q2_op32 = GridHeatOperator2(heat32)
+        self.grid_op = self.grid_op32 = None
+        self.dg_op = self.dg_op32 = None
+        self.dg_mg = None
+        self.mech = None
+        if config.mechanics == "equilibrium":
+            raise ValueError("equilibrium mechanics under sharded CG-2 "
+                             "is not wired yet — use the CG-1 path")
+        self.grid_mg = None
+        if sc.preconditioner == "mg":
+            mg_dtype = jnp.float32 if self._mixed else self.dtype
+            mg_fine = self.q2_op32 if self._mixed else self.q2_op
+
+            def make_cg_operator(level_mesh):
+                fs = FunctionSpace(level_mesh, "CG", 1)
+                return HeatOperator(fs, self.params, self.dt,
+                                    dtype=mg_dtype, form=heat_form)
+
+            self.grid_mg = Q2MG(
+                mg_fine, make_cg_operator,
+                nu_pre=getattr(sc, "mg_nu_pre", 2),
+                nu_post=getattr(sc, "mg_nu_post", 2),
+                mg_kwargs={"smoother": sc.mg_smoother},
+                coarse_pad0=self.pad0)
+            self.grid_mg.freeze_rhos(self.dt)
+
     _TSPACE_FIELDS = frozenset(
         {"T", "T_prev", "Tf", "Tf_prev", "Tf_partial", "phi", "xi"})
 
     def _is_cellgrid(self, name: str) -> bool:
-        return self.is_dg and name in self._TSPACE_FIELDS
+        return ((self.is_dg or self.is_q2)
+                and name in self._TSPACE_FIELDS)
+
+    def _t_shape(self) -> tuple:
+        """UNPADDED grid shape of a scalar T-space field."""
+        if self.is_dg:
+            return self.cell_dims + (self.nloc,)
+        return self.lat_base
+
+    def _t_pad0(self) -> int:
+        return (getattr(self, "cell_pad0", 0) if self.is_dg
+                else getattr(self, "lat_pad0", 0))
 
     # ------------------------------------------------------------------
     def _to_grid(self, state: ViscoState) -> ViscoState:
@@ -281,9 +362,8 @@ class GridShardedProblem:
             if name == "t" or a is None:
                 return a
             if self._is_cellgrid(name):
-                g = a.reshape(self.cell_dims + (self.nloc,)
-                              + a.shape[1:])
-                cp = getattr(self, "cell_pad0", 0)
+                g = a.reshape(self._t_shape() + a.shape[1:])
+                cp = self._t_pad0()
                 if cp:
                     pc = [(0, cp)] + [(0, 0)] * (g.ndim - 1)
                     g = jnp.pad(g, pc, mode="edge")
@@ -301,10 +381,10 @@ class GridShardedProblem:
             if name == "t" or a is None:
                 return a
             if self._is_cellgrid(name):
-                cp = getattr(self, "cell_pad0", 0)
+                cp = self._t_pad0()
                 if cp:
                     a = a[: a.shape[0] - cp]
-                d = len(self.cell_dims) + 1       # + local-dof axis
+                d = len(self._t_shape())
                 extra = a.shape[d:]
                 return a.reshape((-1,) + extra)
             if self.pad0:
@@ -346,6 +426,23 @@ class GridShardedProblem:
 
             def ident(name, ag):
                 ng = dg_to_nodes_g(ag, vo, ngrid)
+                if pad_sig:
+                    ng = jnp.pad(ng, [(0, pad_sig)]
+                                 + [(0, 0)] * (ng.ndim - 1), mode="edge")
+                return ng
+        elif self.is_q2:
+            # Q2 lattice -> CG-1 node values: the vertices ARE the even
+            # lattice points (Lagrange nodal basis), so the cross-eval is
+            # an even-stride injection (strided READS are fine on TPU)
+            # plus the sigma ghost-plane edge pad
+            pad_sig = self.pad0
+            d = len(self.lat_base)
+
+            def ident(name, ag):
+                ng = ag
+                for a in range(d):
+                    ng = jax.lax.slice_in_dim(ng, 0, ng.shape[a],
+                                              stride=2, axis=a)
                 if pad_sig:
                     ng = jnp.pad(ng, [(0, pad_sig)]
                                  + [(0, 0)] * (ng.ndim - 1), mode="edge")
@@ -396,16 +493,21 @@ class GridShardedProblem:
         dg32 = getattr(self, "dg_op32", None)
         dmg = getattr(self, "dg_mg", None)
         is_dg = self.is_dg
+        is_q2 = self.is_q2
+        q2 = getattr(self, "q2_op", None)
+        q232 = getattr(self, "q2_op32", None)
         # production / f32-twin operator views with a COMMON surface:
         # residual_g / make_matvec_g / jacobian_diag_g — the step body
         # below is element-family-agnostic
-        op_main = dg if is_dg else g
-        op_fast = (dg32 or dg) if is_dg else (g32 or g)
+        op_main = dg if is_dg else (q2 if is_q2 else g)
+        op_fast = ((dg32 or dg) if is_dg
+                   else ((q232 or q2) if is_q2 else (g32 or g)))
 
-        # DG cell-grid ghost layers (state-level pad for non-divisible
-        # cell axes): slice off at step entry, edge-pad back at exit.
-        cpad = getattr(self, "cell_pad0", 0) if is_dg else 0
-        cell_fields = self._TSPACE_FIELDS if is_dg else frozenset()
+        # T-space ghost layers (state-level pad for non-divisible DG cell
+        # / Q2 lattice axes): slice off at step entry, edge-pad at exit.
+        cpad = self._t_pad0() if (is_dg or is_q2) else 0
+        cell_fields = (self._TSPACE_FIELDS if (is_dg or is_q2)
+                       else frozenset())
 
         def unpad_cs(st: ViscoState) -> ViscoState:
             if not cpad:
@@ -535,6 +637,12 @@ class GridShardedProblem:
                 bundle.register_operator(dg32)
             if dmg is not None:
                 bundle.register_operator(dmg)
+        elif is_q2:
+            bundle.register_operator(q2)
+            if q232 is not None:
+                bundle.register_operator(q232)
+            if mg is not None:
+                bundle.register_operator(mg)   # Q2MG (fine + CG-1 chain)
         else:
             bundle.register(g, ("vals_mass", "vals_stiff", "M1g",
                                 "bc_mask_g", "bc_values_g"))
@@ -566,6 +674,10 @@ class GridShardedProblem:
                 data = getattr(dmg, "_frozen_smoother_data", None)
                 if data is not None and "colmask" in data:
                     grids.append(tuple(data["colmask"].shape[:1]))
+        elif is_q2:
+            grids = [self.lat_base]
+            if mg is not None:
+                grids += [gr for gr in mg.gmg.grids()]
         else:
             grids = [self.grid] + ([gr for gr in mg.grids()[1:]]
                                    if mg is not None else [])
@@ -667,13 +779,16 @@ class GridShardedProblem:
         if we and we > 0 and oc.formats:
             from fem_glass_tempering_tpu.io.sharded import ShardedSeriesWriter
             cell_kw = {}
-            if self.is_dg:
-                cp = getattr(self, "cell_pad0", 0)
+            if self.is_dg or self.is_q2:
+                cp = self._t_pad0()
+                base = self._t_shape()
+                if self.is_dg:
+                    base = base[:-1]          # drop the local-dof axis
                 cell_kw = dict(
-                    cell_grid=(self.cell_dims[0] + cp,)
-                    + self.cell_dims[1:],
+                    cell_grid=(base[0] + cp,) + base[1:],
                     cell_pad0=cp,
-                    cell_fields=tuple(sorted(self._TSPACE_FIELDS)))
+                    cell_fields=tuple(sorted(self._TSPACE_FIELDS)),
+                    cell_local_axis=self.is_dg)
             writer = ShardedSeriesWriter(
                 f"{oc.output_dir}/sharded_series",
                 fields=tuple(f for f in oc.npz_fields

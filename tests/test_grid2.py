@@ -232,3 +232,40 @@ def ThermoViscoProblemFactory(mesh, cfg):
     prob = ThermoViscoProblem(mesh=mesh, config=cfg)
     prob.setup()
     return prob
+
+
+@pytest.mark.slow
+def test_sharded_q2_matches_single_device():
+    """GSPMD CG-2 (r5): lattice-sharded Q2 state with the state-level
+    ghost pad, sum-factorized banded operator + Q2MG grid-shaped p-MG —
+    8-virtual-device run matches the single-device CG-2 driver."""
+    import jax
+
+    from fem_glass_tempering_tpu.parallel.grid_shard import (
+        GridShardedProblem,
+    )
+
+    assert len(jax.devices()) >= 8
+    mesh = box_mesh_3d(6, 4, 3, lx=1.0, ly=0.7, lz=0.01)
+    cfg = RunConfig(
+        fe=FEConfig(T_family="CG", T_degree=2,
+                    sigma_family="CG", sigma_degree=1),
+        time=TimeConfig(0.0, 0.2, 0.1),
+        solver=SolverConfig(newton_rtol=1e-12, newton_atol=1e-10,
+                            cg_rtol=1e-12, cg_max_it=300,
+                            linear_operator="stencil",
+                            preconditioner="mg", mg_smoother="chebyshev"),
+        output=OutputConfig(write_every=0, formats=()), dtype="float64")
+    sp = GridShardedProblem(mesh, cfg)
+    assert sp.lat_pad0 == 3        # 13-plane lattice over 8 devices
+    st, ok, _, _ = sp._multi_step_jit(sp.init_state(), 2)
+    assert bool(ok)
+    flat = sp._to_flat(jax.device_get(st))
+
+    single = ThermoViscoProblemFactory(mesh, cfg)
+    s1 = single.solve()
+    T_s = np.asarray(s1.T)
+    assert np.abs(np.asarray(flat.T) - T_s).max() / np.abs(T_s).max() < 1e-9
+    sg = np.asarray(s1.sigma)
+    sscale = max(np.abs(sg).max(), 1e-30)
+    assert np.abs(np.asarray(flat.sigma) - sg).max() / sscale < 1e-8
